@@ -1,0 +1,300 @@
+"""SE(3)-equivariant graph transformer denoiser, dense-padded for TPU.
+
+Re-design of the reference's `UniTransformerO2TwoUpdateGeneral`
+(reference: models/uni_transformer.py:213-328) for dense `[B, N, K]`
+neighborhoods: the torch_scatter `scatter_softmax`/`scatter_sum` attention over
+ragged edge lists (reference: models/uni_transformer.py:42-140) becomes masked
+softmax + weighted sum over a static K axis, and torch_cluster `knn_graph`
+becomes masked pairwise distances + `lax.top_k` (ops/graph.py). All matmuls are
+[B*N*K, D] x [D, H] — MXU-shaped — and the whole forward is jit/scan-safe with
+static shapes.
+
+Layer structure per attention layer (reference: models/uni_transformer.py:143-210):
+  x2h: invariant feature update via multi-head attention over neighbors, with
+       distance-RBF (x) edge-type outer-product features;
+  h2x: equivariant coordinate update — per-head scalar gates on rel_x vectors,
+       attention-averaged; only ligand atoms move.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import graph as G
+from ..ops.rbf import gaussian_smearing, gaussian_smearing_offsets
+from .common import MLP, TorchLinear, outer_product
+
+NEG_INF = -1e9
+
+
+def masked_neighbor_softmax(logits: jnp.ndarray, nbr_mask: jnp.ndarray) -> jnp.ndarray:
+    """Softmax over the K (neighbor) axis of [B, N, K, ...] with invalid
+    neighbors excluded; rows with zero valid neighbors produce zeros (matching
+    scatter_softmax + scatter_sum semantics for nodes with no incoming edges).
+    `logits` is [B, N, K, h]; `nbr_mask` is [B, N, K]."""
+    m = nbr_mask[..., None]
+    logits = jnp.where(m, logits, NEG_INF)
+    logits = logits - jax.lax.stop_gradient(logits.max(axis=2, keepdims=True))
+    unnorm = jnp.where(m, jnp.exp(logits), 0.0)
+    denom = unnorm.sum(axis=2, keepdims=True)
+    return unnorm / jnp.maximum(denom, 1e-16)
+
+
+class BaseX2HAttLayer(nn.Module):
+    """Invariant-feature attention sub-layer
+    (reference: models/uni_transformer.py:11-84)."""
+
+    hidden_dim: int
+    n_heads: int
+    edge_feat_dim: int
+    r_feat_dim: int
+    act_fn: str = "relu"
+    norm: bool = True
+    ew_net_type: str = "r"
+    out_fc: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, h, r_feat, edge_feat, nbh: G.Neighborhood, e_w=None):
+        B, N, H = h.shape
+        K = nbh.idx.shape[-1]
+        dh = self.hidden_dim // self.n_heads
+
+        hi = jnp.broadcast_to(h[:, :, None, :], (B, N, K, H))
+        hj = G.gather_nodes(h, nbh.idx)
+        kv_input = jnp.concatenate([r_feat, hi, hj], axis=-1)
+        if edge_feat is not None:
+            kv_input = jnp.concatenate([edge_feat, kv_input], axis=-1)
+
+        k = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm, act_fn=self.act_fn,
+                dtype=self.dtype, name="hk_func")(kv_input)
+        v = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm, act_fn=self.act_fn,
+                dtype=self.dtype, name="hv_func")(kv_input)
+
+        if self.ew_net_type == "r":
+            e_w = jax.nn.sigmoid(TorchLinear(1, dtype=self.dtype, name="ew_net")(r_feat))
+        elif self.ew_net_type == "m":
+            e_w = jax.nn.sigmoid(
+                TorchLinear(1, dtype=self.dtype, name="ew_net")(v[..., : self.hidden_dim])
+            )
+        elif e_w is None:
+            e_w = 1.0
+        v = v * e_w
+
+        k = k.reshape(B, N, K, self.n_heads, dh)
+        v = v.reshape(B, N, K, self.n_heads, dh)
+        q = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm, act_fn=self.act_fn,
+                dtype=self.dtype, name="hq_func")(h)
+        q = q.reshape(B, N, self.n_heads, dh)
+
+        logits = (q[:, :, None] * k).sum(-1) / math.sqrt(dh)  # [B, N, K, heads]
+        alpha = masked_neighbor_softmax(logits, nbh.mask)
+        out = (alpha[..., None] * v).sum(axis=2).reshape(B, N, H)
+
+        if self.out_fc:
+            out = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm, act_fn=self.act_fn,
+                      dtype=self.dtype, name="node_output")(
+                jnp.concatenate([out, h], axis=-1)
+            )
+        return out + h
+
+
+class BaseH2XAttLayer(nn.Module):
+    """Equivariant coordinate-update attention sub-layer
+    (reference: models/uni_transformer.py:87-140). Values are per-head scalar
+    gates applied to rel_x vectors; output is the head-mean delta-x."""
+
+    hidden_dim: int
+    n_heads: int
+    edge_feat_dim: int
+    r_feat_dim: int
+    act_fn: str = "relu"
+    norm: bool = True
+    ew_net_type: str = "r"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, h, rel_x, r_feat, edge_feat, nbh: G.Neighborhood, e_w=None):
+        B, N, H = h.shape
+        K = nbh.idx.shape[-1]
+        dh = self.hidden_dim // self.n_heads
+
+        hi = jnp.broadcast_to(h[:, :, None, :], (B, N, K, H))
+        hj = G.gather_nodes(h, nbh.idx)
+        kv_input = jnp.concatenate([r_feat, hi, hj], axis=-1)
+        if edge_feat is not None:
+            kv_input = jnp.concatenate([edge_feat, kv_input], axis=-1)
+
+        k = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm, act_fn=self.act_fn,
+                dtype=self.dtype, name="xk_func")(kv_input)
+        v = MLP(self.n_heads, self.hidden_dim, norm=self.norm, act_fn=self.act_fn,
+                dtype=self.dtype, name="xv_func")(kv_input)
+
+        if self.ew_net_type == "r":
+            e_w = jax.nn.sigmoid(TorchLinear(1, dtype=self.dtype, name="ew_net")(r_feat))
+        elif self.ew_net_type == "m":
+            e_w = 1.0
+        elif e_w is None:
+            e_w = 1.0
+        v = v * e_w  # [B, N, K, heads]
+
+        # rel_x kept in f32 for equivariance-critical geometry
+        v_vec = v[..., None].astype(jnp.float32) * rel_x[:, :, :, None, :]  # [B,N,K,heads,3]
+
+        k = k.reshape(B, N, K, self.n_heads, dh)
+        q = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm, act_fn=self.act_fn,
+                dtype=self.dtype, name="xq_func")(h)
+        q = q.reshape(B, N, self.n_heads, dh)
+
+        logits = (q[:, :, None] * k).sum(-1) / math.sqrt(dh)
+        alpha = masked_neighbor_softmax(logits, nbh.mask).astype(jnp.float32)
+        out = (alpha[..., None] * v_vec).sum(axis=2)  # [B, N, heads, 3]
+        return out.mean(axis=2)  # [B, N, 3]
+
+
+class AttentionLayerO2TwoUpdateNodeGeneral(nn.Module):
+    """One denoiser layer: num_x2h feature updates then num_h2x equivariant
+    coordinate updates (reference: models/uni_transformer.py:143-210)."""
+
+    hidden_dim: int
+    n_heads: int
+    num_r_gaussian: int
+    edge_feat_dim: int
+    act_fn: str = "relu"
+    norm: bool = True
+    num_x2h: int = 1
+    num_h2x: int = 1
+    r_min: float = 0.0
+    r_max: float = 10.0
+    ew_net_type: str = "r"
+    x2h_out_fc: bool = True
+    sync_twoup: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, h, x, edge_attr, nbh: G.Neighborhood, mask_ligand, e_w=None, fix_x=False):
+        offsets, coeff = gaussian_smearing_offsets(self.r_min, self.r_max, self.num_r_gaussian)
+        edge_feat = edge_attr if self.edge_feat_dim > 0 else None
+
+        xj = G.gather_nodes(x, nbh.idx)
+        rel_x = x[:, :, None, :] - xj  # x_dst - x_src
+        dist = jnp.linalg.norm(rel_x + 1e-20, axis=-1)
+
+        h_in = h
+        for i in range(self.num_x2h):
+            dist_feat = gaussian_smearing(dist, offsets, coeff).astype(h.dtype)
+            dist_feat = outer_product(edge_attr, dist_feat)
+            h_in = BaseX2HAttLayer(
+                self.hidden_dim, self.n_heads, self.edge_feat_dim,
+                r_feat_dim=self.num_r_gaussian * 4, act_fn=self.act_fn, norm=self.norm,
+                ew_net_type=self.ew_net_type, out_fc=self.x2h_out_fc, dtype=self.dtype,
+                name=f"x2h_{i}",
+            )(h_in, dist_feat, edge_feat, nbh, e_w=e_w)
+        x2h_out = h_in
+
+        new_h = h if self.sync_twoup else x2h_out
+        for i in range(self.num_h2x):
+            dist_feat = gaussian_smearing(dist, offsets, coeff).astype(h.dtype)
+            dist_feat = outer_product(edge_attr, dist_feat)
+            delta_x = BaseH2XAttLayer(
+                self.hidden_dim, self.n_heads, self.edge_feat_dim,
+                r_feat_dim=self.num_r_gaussian * 4, act_fn=self.act_fn, norm=self.norm,
+                ew_net_type=self.ew_net_type, dtype=self.dtype, name=f"h2x_{i}",
+            )(new_h, rel_x, dist_feat, edge_feat, nbh, e_w=e_w)
+            if not fix_x:
+                x = x + delta_x * mask_ligand[..., None].astype(x.dtype)
+            xj = G.gather_nodes(x, nbh.idx)
+            rel_x = x[:, :, None, :] - xj
+            dist = jnp.linalg.norm(rel_x + 1e-20, axis=-1)
+
+        return x2h_out, x
+
+
+class UniTransformerO2TwoUpdateGeneral(nn.Module):
+    """Full denoiser: num_blocks graph rebuilds x num_layers attention layers
+    (reference: models/uni_transformer.py:213-328)."""
+
+    num_blocks: int
+    num_layers: int
+    hidden_dim: int
+    n_heads: int = 1
+    k: int = 32
+    num_r_gaussian: int = 50
+    edge_feat_dim: int = 0
+    num_node_types: int = 8
+    act_fn: str = "relu"
+    norm: bool = True
+    cutoff_mode: str = "knn"  # knn | hybrid
+    ew_net_type: str = "r"  # r | m | global | none
+    num_init_x2h: int = 1
+    num_init_h2x: int = 0
+    num_x2h: int = 1
+    num_h2x: int = 1
+    r_max: float = 10.0
+    x2h_out_fc: bool = True
+    sync_twoup: bool = False
+    max_ligand: int = 0  # only needed for cutoff_mode='hybrid'
+    dtype: Optional[jnp.dtype] = None
+
+    def _connect(self, x, node_mask, mask_ligand) -> G.Neighborhood:
+        if self.cutoff_mode == "knn":
+            return G.knn_graph(x, node_mask, self.k)
+        if self.cutoff_mode == "hybrid":
+            assert self.max_ligand > 0, "hybrid cutoff requires max_ligand"
+            return G.hybrid_graph(x, node_mask, mask_ligand, self.k, self.max_ligand)
+        raise ValueError(f"Not supported cutoff mode: {self.cutoff_mode}")
+
+    @nn.compact
+    def __call__(self, h, x, mask_ligand, node_mask, return_all=False, fix_x=False):
+        """h: [B, N, H]; x: [B, N, 3] f32; mask_ligand/node_mask: [B, N] bool."""
+        offsets, coeff = gaussian_smearing_offsets(0.0, self.r_max, self.num_r_gaussian)
+        all_x, all_h = [x], [h]
+
+        # NOTE: the reference also constructs an `init_h_emb_layer`
+        # (models/uni_transformer.py:245, :255-261) but never invokes it in
+        # forward(); we neither construct nor call it.
+
+        # Layer parameters are shared across blocks, exactly like the
+        # reference's single `base_block` ModuleList reused per block
+        # (models/uni_transformer.py:306-321): instantiate once, apply per block.
+        shared_layers = [
+            AttentionLayerO2TwoUpdateNodeGeneral(
+                self.hidden_dim, self.n_heads, self.num_r_gaussian, self.edge_feat_dim,
+                act_fn=self.act_fn, norm=self.norm, num_x2h=self.num_x2h,
+                num_h2x=self.num_h2x, r_max=self.r_max, ew_net_type=self.ew_net_type,
+                x2h_out_fc=self.x2h_out_fc, sync_twoup=self.sync_twoup,
+                dtype=self.dtype, name=f"block_{l_idx}",
+            )
+            for l_idx in range(self.num_layers)
+        ]
+        if self.ew_net_type == "global":
+            edge_pred_layer = MLP(1, self.hidden_dim, norm=True, act_fn="relu",
+                                  dtype=self.dtype, name="edge_pred_layer")
+
+        for b_idx in range(self.num_blocks):
+            nbh = self._connect(x, node_mask, mask_ligand)
+            edge_type = G.edge_types(nbh, mask_ligand).astype(h.dtype)
+
+            if self.ew_net_type == "global":
+                xj = G.gather_nodes(x, nbh.idx)
+                dist = jnp.linalg.norm(x[:, :, None, :] - xj + 1e-20, axis=-1)
+                dist_feat = gaussian_smearing(dist, offsets, coeff).astype(h.dtype)
+                logits = edge_pred_layer(dist_feat)
+                e_w = jax.nn.sigmoid(logits)
+            else:
+                e_w = None
+
+            for layer in shared_layers:
+                h, x = layer(h, x, edge_type, nbh, mask_ligand, e_w=e_w, fix_x=fix_x)
+            all_x.append(x)
+            all_h.append(h)
+
+        outputs = {"x": x, "h": h}
+        if return_all:
+            outputs.update({"all_x": all_x, "all_h": all_h})
+        return outputs

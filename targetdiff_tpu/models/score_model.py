@@ -117,7 +117,7 @@ class ScorePosNet(nn.Module):
         return_all=False,
         fix_x=False,
     ) -> Dict[str, Any]:
-        cfg = self.config
+        cfg = Config(self.config)  # flax freezes dict attrs into FrozenDict
         num_classes = self.ligand_atom_feature_dim
         hidden_dim = cfg.hidden_dim
         emb_dim = hidden_dim - 1 if cfg.node_indicator else hidden_dim

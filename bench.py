@@ -1,0 +1,85 @@
+"""Benchmark: molecules/sec/chip for pocket-conditioned sampling.
+
+Workload matches the reference's headline sampling job (reference:
+configs/sampling.yml — 100 samples per pocket, 1000 DDPM steps, batch 100)
+with the released model config (configs/training.yml: uni_o2, 1x9 layers,
+hidden 128, 16 heads, knn 32): the full reverse process runs in one
+`jax.lax.scan` on device.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md). The
+PyTorch reference on an A100 runs the same 9-layer denoiser 1000x per batch
+through ragged scatter/gather kernels with a per-step host sync; public
+TargetDiff reproduction reports put it at roughly 8-20 min per 100-molecule
+pocket => ~0.1-0.2 mol/s. We use 0.2 mol/s/GPU as a *generous* reference
+point for vs_baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MOL_PER_SEC = 0.2  # generous estimate of reference A100 throughput
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship
+    from targetdiff_tpu.sampling import init_ligand_state
+
+    num_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    dtype = jnp.bfloat16
+
+    # realistic pocket/ligand sizes: ~330 valid pocket atoms (10A crossdocked
+    # pocket), ligands up to 32 atoms (test-set mean ~25)
+    model, b = _flagship(num_timesteps=1000, max_protein=384, max_ligand=32, batch=batch)
+    model.net = model.net.clone(dtype=dtype)
+    rng = np.random.default_rng(0)
+    pmask = np.zeros((batch, 384), bool)
+    pmask[:, :330] = True
+    sizes = rng.integers(18, 33, size=(batch,))
+    lmask = np.arange(32)[None, :] < sizes[:, None]
+    b = b._replace(protein_mask=jnp.asarray(pmask), ligand_mask=jnp.asarray(lmask))
+
+    params = model.init(jax.random.PRNGKey(0), b)
+    key = jax.random.PRNGKey(1)
+    init_pos, init_v = init_ligand_state(key, b, model.num_classes)
+
+    fn = jax.jit(
+        lambda p, k, bb, ip, iv: model.sample_diffusion(p, k, bb, ip, iv, num_steps=num_steps)
+    )
+
+    # warmup/compile
+    res = fn(params, key, b, init_pos, init_v)
+    res.pos.block_until_ready()
+
+    t0 = time.time()
+    n_rep = 1
+    for i in range(n_rep):
+        res = fn(params, jax.random.fold_in(key, i), b, init_pos, init_v)
+        res.pos.block_until_ready()
+    dt = (time.time() - t0) / n_rep
+
+    mol_per_sec = batch / dt
+    n_chips = 1  # single-chip benchmark; sampling scales linearly over dp
+    value = mol_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": f"sampling throughput ({num_steps}-step DDPM, batch {batch}, 330-atom pocket)",
+                "value": round(value, 4),
+                "unit": "molecules/sec/chip",
+                "vs_baseline": round(value / BASELINE_MOL_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

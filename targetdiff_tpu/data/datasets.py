@@ -1,0 +1,305 @@
+"""Datasets: CrossDocked pocket-ligand pairs and PDBBind complexes, cached in
+a RecordStore, plus the dense padding collator and a simple shuffling loader.
+
+Counterpart of the reference's dataset layer (reference:
+datasets/__init__.py:7-22 `get_dataset`, datasets/pl_pair_dataset.py:11-117
+`PocketLigandPairDataset`, datasets/pdbbind.py:14-132 `PDBBindDataset`,
+datasets/pl_data.py ragged PyG containers). Samples are plain dicts of numpy
+arrays with `protein_*` / `ligand_*` key prefixes; batching pads to fixed
+(max_protein, max_ligand) shapes (ComplexBatch) instead of PyG concatenation.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..chem.pdb import PDBProtein
+from ..chem.sdf import parse_sdf_file
+from .batch import ComplexBatch
+from .store import RecordStore, RecordStoreWriter
+
+
+def torchify_free_dict(protein: Dict, ligand: Dict) -> Dict:
+    """Merge parsed protein/ligand dicts under prefixed keys
+    (the reference's ProteinLigandData.from_protein_ligand_dicts,
+    datasets/pl_data.py:16-30)."""
+    out = {}
+    for k, v in protein.items():
+        out[f"protein_{k}"] = v
+    for k, v in ligand.items():
+        out[f"ligand_{k}"] = v
+    return out
+
+
+def ligand_nbh_list(bond_index: np.ndarray, n: int) -> Dict[int, List[int]]:
+    """(reference: datasets/pl_data.py:27-29)."""
+    nbh = {i: [] for i in range(n)}
+    for s, d in zip(bond_index[0], bond_index[1]):
+        nbh[int(s)].append(int(d))
+    return nbh
+
+
+class PocketLigandPairDataset:
+    """CrossDocked pocket10 pairs. On first access, parses every
+    (pocket PDB, ligand SDF) pair from `index.pkl` under `raw_path` and caches
+    featurized dicts in a RecordStore
+    (reference: datasets/pl_pair_dataset.py:51-97)."""
+
+    def __init__(self, raw_path: str, transform: Optional[Callable] = None, version: str = "final"):
+        self.raw_path = raw_path.rstrip("/")
+        self.index_path = os.path.join(self.raw_path, "index.pkl")
+        self.processed_path = os.path.join(
+            os.path.dirname(self.raw_path),
+            os.path.basename(self.raw_path) + f"_processed_{version}",
+        )
+        self.transform = transform
+        if not RecordStore.exists(self.processed_path):
+            self._process()
+        self.store = RecordStore(self.processed_path)
+        self._keys = None
+
+    def _process(self):
+        with open(self.index_path, "rb") as f:
+            index = pickle.load(f)
+        num_skipped = 0
+        with RecordStoreWriter(self.processed_path) as w:
+            for i, entry in enumerate(index):
+                pocket_fn, ligand_fn = entry[0], entry[1]
+                if pocket_fn is None:
+                    continue
+                try:
+                    protein = PDBProtein(
+                        os.path.join(self.raw_path, pocket_fn)
+                    ).to_dict_atom()
+                    ligand = parse_sdf_file(os.path.join(self.raw_path, ligand_fn))
+                    data = torchify_free_dict(protein, ligand)
+                    data["protein_filename"] = pocket_fn
+                    data["ligand_filename"] = ligand_fn
+                    w.put_obj(str(i), data)
+                except Exception as e:  # skip-and-count like the reference
+                    num_skipped += 1
+                    if num_skipped < 20:
+                        print(f"skip {pocket_fn} {ligand_fn}: {type(e).__name__}: {e}")
+        print(f"processed {len(index)} entries, skipped {num_skipped}")
+
+    def keys(self):
+        if self._keys is None:
+            self._keys = sorted(self.store.keys(), key=lambda k: int(k))
+        return self._keys
+
+    def __len__(self):
+        return len(self.keys())
+
+    def __getitem__(self, idx: int) -> Dict:
+        data = self.store.get_obj(self.keys()[idx])
+        data["id"] = idx
+        if self.transform is not None:
+            data = self.transform(data)
+        return data
+
+
+class PDBBindDataset:
+    """PDBBind complexes with binding-affinity labels (y = pK, kind in
+    {Ki=0, Kd=1, IC50=2}); optionally merges diffusion-derived embedding
+    features from a likelihood-export file
+    (reference: datasets/pdbbind.py:14-132)."""
+
+    KMAP = {"Ki": 0, "Kd": 1, "IC50": 2}
+
+    def __init__(
+        self,
+        index_path: str,
+        transform: Optional[Callable] = None,
+        emb_path: Optional[str] = None,
+        heavy_only: bool = False,
+        version: str = "final",
+    ):
+        self.index_path = index_path
+        self.raw_path = os.path.dirname(index_path)
+        self.processed_path = os.path.join(
+            self.raw_path, f"pdbbind_processed_{version}"
+        )
+        self.transform = transform
+        self.heavy_only = heavy_only
+        if not RecordStore.exists(self.processed_path):
+            self._process()
+        self.store = RecordStore(self.processed_path)
+        self._keys = None
+        self.emb = None
+        if emb_path is not None:
+            import torch
+
+            raw = torch.load(emb_path, map_location="cpu", weights_only=False)
+            self.emb = {e["ligand_filename"]: e for e in raw}
+
+    def _process(self):
+        with open(self.index_path, "rb") as f:
+            index = pickle.load(f)
+        num_skipped = 0
+        with RecordStoreWriter(self.processed_path) as w:
+            for i, entry in enumerate(index):
+                try:
+                    pocket_fn, ligand_fn, pk, kind = (
+                        entry["pocket"], entry["ligand"], entry["pk"], entry.get("kind", 0)
+                    )
+                    protein = PDBProtein(os.path.join(self.raw_path, pocket_fn)).to_dict_atom()
+                    ligand = parse_sdf_file(os.path.join(self.raw_path, ligand_fn))
+                    data = torchify_free_dict(protein, ligand)
+                    data["protein_filename"] = pocket_fn
+                    data["ligand_filename"] = ligand_fn
+                    data["y"] = np.float32(pk)
+                    data["kind"] = np.int64(kind)
+                    w.put_obj(str(i), data)
+                except Exception as e:
+                    num_skipped += 1
+                    if num_skipped < 20:
+                        print(f"skip {entry}: {type(e).__name__}: {e}")
+        print(f"processed pdbbind, skipped {num_skipped}")
+
+    def keys(self):
+        if self._keys is None:
+            self._keys = sorted(self.store.keys(), key=lambda k: int(k))
+        return self._keys
+
+    def __len__(self):
+        return len(self.keys())
+
+    def __getitem__(self, idx: int) -> Dict:
+        data = self.store.get_obj(self.keys()[idx])
+        data["id"] = idx
+        if self.emb is not None:
+            e = self.emb.get(data["ligand_filename"])
+            if e is not None:
+                data["nll"] = np.asarray(e["nll"], np.float32)
+                data["final_h"] = np.asarray(e["final_h"], np.float32)
+                data["pred_v"] = np.asarray(e["pred_ligand_v"], np.float32)
+        if self.transform is not None:
+            data = self.transform(data)
+        return data
+
+
+class Subset:
+    def __init__(self, dataset, indices: Sequence[int]):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[self.indices[i]]
+
+
+def get_dataset(config, transform=None) -> tuple:
+    """Factory + named-split handling (reference: datasets/__init__.py:7-22).
+    Returns (dataset, subsets_dict or None). Split files are torch .pt dicts
+    of name -> index list, kept for interop with reference splits."""
+    name = config["name"]
+    if name == "pl":
+        dataset = PocketLigandPairDataset(config["path"], transform=transform)
+    elif name == "pdbbind":
+        dataset = PDBBindDataset(
+            config["path"], transform=transform, emb_path=config.get("emb_path")
+        )
+    else:
+        raise NotImplementedError(f"Unknown dataset: {name}")
+
+    if "split" in config and config["split"]:
+        import torch
+
+        split = torch.load(config["split"], weights_only=False)
+        subsets = {k: Subset(dataset, v) for k, v in split.items()}
+        return dataset, subsets
+    return dataset, None
+
+
+def collate_padded(
+    samples: List[Dict], max_protein: int, max_ligand: int
+) -> ComplexBatch:
+    """Pad a list of data dicts into one ComplexBatch (replaces PyG
+    FOLLOW_BATCH collation, reference: scripts/train_diffusion.py:88-98)."""
+    import jax.numpy as jnp
+
+    B = len(samples)
+    fp = samples[0]["protein_atom_feature"].shape[-1]
+    ppos = np.zeros((B, max_protein, 3), np.float32)
+    pfeat = np.zeros((B, max_protein, fp), np.float32)
+    pmask = np.zeros((B, max_protein), bool)
+    lpos = np.zeros((B, max_ligand, 3), np.float32)
+    lv = np.zeros((B, max_ligand), np.int32)
+    lmask = np.zeros((B, max_ligand), bool)
+    for i, s in enumerate(samples):
+        np_, nl = len(s["protein_pos"]), len(s["ligand_pos"])
+        if np_ > max_protein or nl > max_ligand:
+            raise ValueError(
+                f"sample {i} exceeds padding: protein {np_}>{max_protein} or ligand {nl}>{max_ligand}"
+            )
+        ppos[i, :np_] = s["protein_pos"]
+        pfeat[i, :np_] = s["protein_atom_feature"]
+        pmask[i, :np_] = True
+        lpos[i, :nl] = s["ligand_pos"]
+        lv[i, :nl] = s["ligand_atom_feature_full"]
+        lmask[i, :nl] = True
+    return ComplexBatch(
+        jnp.asarray(ppos), jnp.asarray(pfeat), jnp.asarray(pmask),
+        jnp.asarray(lpos), jnp.asarray(lv), jnp.asarray(lmask),
+    )
+
+
+class PaddedLoader:
+    """Shuffling batch loader with filtering of oversize complexes."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        max_protein: int = 384,
+        max_ligand: int = 64,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.max_protein = max_protein
+        self.max_ligand = max_ligand
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        batch = []
+        for i in order:
+            try:
+                s = self.dataset[int(i)]
+            except Exception:
+                continue
+            if (
+                len(s["protein_pos"]) > self.max_protein
+                or len(s["ligand_pos"]) > self.max_ligand
+            ):
+                continue
+            batch.append(s)
+            if len(batch) == self.batch_size:
+                yield collate_padded(batch, self.max_protein, self.max_ligand)
+                batch = []
+        if batch and not self.drop_last:
+            yield collate_padded(batch, self.max_protein, self.max_ligand)
+
+
+def inf_iterator(loader):
+    """(reference: utils/train.py:46-52)."""
+    while True:
+        for b in loader:
+            yield b

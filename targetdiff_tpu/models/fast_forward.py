@@ -1,0 +1,174 @@
+"""Fused-kernel forward pass for the flagship UniTransformerO2 denoiser.
+
+Pure function over the SAME parameter pytree produced by
+`ScorePosNet.init` (models/score_model.py) — so checkpoints are shared with
+the XLA path — but executing each attention layer with the fused Pallas
+kernels (ops/pallas/edge_layer.py). Used for the inference paths (sampling,
+likelihood, embedding export); training takes the differentiable XLA path.
+
+Supports the released TargetDiff architecture
+(reference: configs/training.yml:9-42): model_type=uni_o2, cutoff_mode=knn,
+ew_net_type=global, x2h_out_fc=False, num_x2h=num_h2x=1, sync_twoup=False,
+act=relu, norm=True, time_emb_dim=0.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..data.batch import ComplexBatch
+from ..ops import graph as G
+from ..ops.pallas.edge_layer import (
+    H2XParams,
+    X2HParams,
+    h2x_attention_layer,
+    x2h_attention_layer,
+)
+from ..ops.rbf import gaussian_smearing, gaussian_smearing_offsets
+from .common import shifted_softplus
+
+
+def _mlp_split(mp: Dict, splits=(4, 80, 128)) -> tuple:
+    """Split an edge-MLP's first Linear kernel by kv-input block
+    (edge_feat | r_feat | h_i | h_j)."""
+    w1 = mp["lin_0"]["kernel"]
+    e, r, hdim = splits
+    w1e = w1[:e]
+    w1r = w1[e : e + r]
+    w1i = w1[e + r : e + r + hdim]
+    w1j = w1[e + r + hdim :]
+    return (
+        w1e, w1r, w1i, w1j, mp["lin_0"]["bias"], mp["norm_0"]["scale"],
+        mp["norm_0"]["bias"], mp["lin_1"]["kernel"], mp["lin_1"]["bias"],
+    )
+
+
+def _mlp_node(mp: Dict) -> tuple:
+    return (
+        mp["lin_0"]["kernel"], mp["lin_0"]["bias"], mp["norm_0"]["scale"],
+        mp["norm_0"]["bias"], mp["lin_1"]["kernel"], mp["lin_1"]["bias"],
+    )
+
+
+def extract_layer_params(block: Dict, hidden_dim: int, num_r_gaussian: int):
+    splits = (4, num_r_gaussian * 4, hidden_dim)
+    x2h = block["x2h_0"]
+    h2x = block["h2x_0"]
+    px = X2HParams(
+        *_mlp_split(x2h["hk_func"], splits),
+        *_mlp_split(x2h["hv_func"], splits),
+        *_mlp_node(x2h["hq_func"]),
+    )
+    ph = H2XParams(
+        *_mlp_split(h2x["xk_func"], splits),
+        *_mlp_split(h2x["xv_func"], splits),
+        *_mlp_node(h2x["xq_func"]),
+    )
+    return px, ph
+
+
+def _apply_mlp(params: Dict, x, act=jax.nn.relu):
+    y = x @ params["lin_0"]["kernel"] + params["lin_0"]["bias"]
+    mean = y.mean(-1, keepdims=True)
+    var = ((y - mean) ** 2).mean(-1, keepdims=True)
+    y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+    y = y * params["norm_0"]["scale"] + params["norm_0"]["bias"]
+    y = act(y)
+    return y @ params["lin_1"]["kernel"] + params["lin_1"]["bias"]
+
+
+def fast_forward(
+    config: Config,
+    params: Any,
+    batch: ComplexBatch,
+    init_ligand_pos: jnp.ndarray,
+    init_ligand_v: jnp.ndarray,
+    num_classes: int,
+    time_step=None,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Equivalent of ScorePosNet.__call__ (models/score_model.py) on the
+    fused kernels. Returns {pred_ligand_pos, pred_ligand_v, final_ligand_h}."""
+    cfg = config
+    assert cfg.model_type == "uni_o2"
+    assert cfg.cutoff_mode == "knn" and cfg.ew_net_type == "global"
+    assert not cfg.x2h_out_fc and cfg.num_x2h == 1 and cfg.num_h2x == 1
+    assert not cfg.sync_twoup and cfg.get("time_emb_dim", 0) == 0
+    assert cfg.act_fn == "relu" and cfg.norm
+
+    p = params["params"]
+    hidden = cfg.hidden_dim
+
+    # --- embeddings (XLA; node-level, cheap) ---
+    lig_oh = jax.nn.one_hot(init_ligand_v, num_classes, dtype=jnp.float32)
+    h_protein = batch.protein_feat @ p["protein_atom_emb"]["kernel"] + p["protein_atom_emb"]["bias"]
+    h_ligand = lig_oh @ p["ligand_atom_emb"]["kernel"] + p["ligand_atom_emb"]["bias"]
+    if cfg.node_indicator:
+        h_protein = jnp.concatenate(
+            [h_protein, jnp.zeros(h_protein.shape[:2] + (1,), h_protein.dtype)], -1
+        )
+        h_ligand = jnp.concatenate(
+            [h_ligand, jnp.ones(h_ligand.shape[:2] + (1,), h_ligand.dtype)], -1
+        )
+
+    h, x, node_mask, mask_ligand = G.compose_context(
+        h_protein, h_ligand, batch.protein_pos, init_ligand_pos,
+        batch.protein_mask, batch.ligand_mask,
+    )
+    h = h.astype(dtype)
+    x = x.astype(jnp.float32)
+
+    NP = batch.protein_pos.shape[1]
+    rp = p["refine_net"]
+    offsets, coeff = gaussian_smearing_offsets(0.0, cfg.r_max, cfg.num_r_gaussian)
+
+    layer_params = [
+        extract_layer_params(rp[f"block_{l}"], hidden, cfg.num_r_gaussian)
+        for l in range(cfg.num_layers)
+    ]
+
+    for _b in range(cfg.num_blocks):
+        nbh = G.knn_graph(x, node_mask, cfg.knn)
+        src_lig = jnp.take_along_axis(
+            jnp.broadcast_to(mask_ligand[:, None, :], nbh.idx.shape[:2] + (mask_ligand.shape[1],)),
+            nbh.idx, axis=2,
+        )
+        dst_lig = mask_ligand[:, :, None]
+        etype = jnp.where(
+            src_lig & dst_lig, 0, jnp.where(src_lig & ~dst_lig, 1,
+                                            jnp.where(~src_lig & dst_lig, 2, 3))
+        ).astype(jnp.int32)
+
+        # global edge weights from block-start distances
+        # (reference: models/uni_transformer.py:312-318)
+        _, dist0 = G.rel_geometry(x, nbh)
+        dist_feat = gaussian_smearing(dist0, offsets, coeff)
+        e_w = jax.nn.sigmoid(_apply_mlp(rp["edge_pred_layer"], dist_feat))[..., 0]
+
+        for px, ph in layer_params:
+            h = x2h_attention_layer(
+                h, x, nbh.idx, nbh.mask, etype, e_w, offsets, px,
+                n_heads=cfg.n_heads, coeff=coeff, dtype=dtype, interpret=interpret,
+            )
+            x = h2x_attention_layer(
+                h, x, nbh.idx, nbh.mask, etype, e_w, mask_ligand, offsets, ph,
+                n_heads=cfg.n_heads, coeff=coeff, dtype=dtype, interpret=interpret,
+            )
+
+    final_ligand_h = h[:, NP:, :].astype(jnp.float32)
+    final_ligand_pos = x[:, NP:, :]
+    y = final_ligand_h @ p["v_inference_0"]["kernel"] + p["v_inference_0"]["bias"]
+    y = shifted_softplus(y)
+    final_ligand_v = y @ p["v_inference_2"]["kernel"] + p["v_inference_2"]["bias"]
+
+    return {
+        "pred_ligand_pos": final_ligand_pos,
+        "pred_ligand_v": final_ligand_v,
+        "final_ligand_h": final_ligand_h,
+        "final_h": h.astype(jnp.float32),
+    }

@@ -272,6 +272,21 @@ class DiffusionModel:
             **kw,
         )
 
+    def fast_apply(
+        self, params, batch: ComplexBatch, ligand_pos, ligand_v, time_step=None,
+        dtype=jnp.bfloat16, interpret=None,
+    ):
+        """Fused Pallas-kernel forward (inference path); same params as
+        `apply`. Falls back to interpret mode off-TPU."""
+        from .fast_forward import fast_forward
+
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu", "axon")
+        return fast_forward(
+            self.config, params, batch, ligand_pos, ligand_v, self.num_classes,
+            time_step=time_step, dtype=dtype, interpret=interpret,
+        )
+
     # -- training loss ------------------------------------------------------
 
     def get_diffusion_loss(
@@ -412,6 +427,8 @@ class DiffusionModel:
         pos_only: bool = False,
         return_traj: bool = False,
         return_v_probs: bool = False,
+        impl: str = "xla",  # 'xla' | 'fast' (fused Pallas kernels)
+        dtype=jnp.bfloat16,
     ) -> SampleResult:
         """Full reverse DDPM as one on-device `lax.scan`
         (reference: models/molopt_score_model.py:633-703, which loops in
@@ -433,7 +450,10 @@ class DiffusionModel:
             ligand_pos, ligand_v, k = carry
             k, k_pos, k_v = jax.random.split(k, 3)
             t = jnp.full((batch.num_graphs,), t_scalar, jnp.int32)
-            preds = self.apply(params, cbatch, ligand_pos, ligand_v, t)
+            if impl == "fast":
+                preds = self.fast_apply(params, cbatch, ligand_pos, ligand_v, t, dtype=dtype)
+            else:
+                preds = self.apply(params, cbatch, ligand_pos, ligand_v, t)
 
             if self.model_mean_type == "noise":
                 pred_pos_noise = preds["pred_ligand_pos"] - ligand_pos

@@ -1,0 +1,70 @@
+"""Parity of the fused Pallas forward (interpret mode on CPU) against the XLA
+flax forward, on the flagship architecture at small width."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from targetdiff_tpu.config import Config
+from targetdiff_tpu.data.batch import ComplexBatch
+from targetdiff_tpu.models.score_model import DiffusionModel
+
+PROTEIN_DIM = 27
+NUM_CLASSES = 13
+
+
+def small_flagship():
+    return Config(
+        dict(
+            model_mean_type="C0", beta_schedule="sigmoid", beta_start=1e-7, beta_end=2e-3,
+            v_beta_schedule="cosine", v_beta_s=0.01, num_diffusion_timesteps=10,
+            loss_v_weight=100.0, sample_time_method="symmetric", time_emb_dim=0,
+            time_emb_mode="simple", center_pos_mode="protein", node_indicator=True,
+            model_type="uni_o2", num_blocks=1, num_layers=2, hidden_dim=32, n_heads=4,
+            edge_feat_dim=4, num_r_gaussian=20, knn=8, num_node_types=8, act_fn="relu",
+            norm=True, cutoff_mode="knn", ew_net_type="global", num_x2h=1, num_h2x=1,
+            r_max=10.0, x2h_out_fc=False, sync_twoup=False,
+        )
+    )
+
+
+def batch_mult8(B=2, NP_=16, NL=8):
+    rng = np.random.default_rng(0)
+    pmask = np.ones((B, NP_), bool)
+    pmask[0, 14:] = False
+    lmask = np.ones((B, NL), bool)
+    lmask[1, 6:] = False
+    return ComplexBatch(
+        jnp.asarray(rng.normal(size=(B, NP_, 3)).astype(np.float32) * 3),
+        jnp.asarray((rng.random((B, NP_, PROTEIN_DIM)) > 0.7).astype(np.float32)),
+        jnp.asarray(pmask),
+        jnp.asarray(rng.normal(size=(B, NL, 3)).astype(np.float32)),
+        jnp.asarray(rng.integers(0, NUM_CLASSES, (B, NL)).astype(np.int32)),
+        jnp.asarray(lmask),
+    )
+
+
+def test_fast_forward_matches_xla():
+    cfg = small_flagship()
+    batch = batch_mult8()
+    model = DiffusionModel(cfg, PROTEIN_DIM, NUM_CLASSES, max_protein=16, max_ligand=8)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    t = jnp.array([3, 7])
+
+    ref = model.apply(params, batch, batch.ligand_pos, batch.ligand_v, t)
+    fast = model.fast_apply(
+        params, batch, batch.ligand_pos, batch.ligand_v, t,
+        dtype=jnp.float32, interpret=True,
+    )
+
+    lmask = np.asarray(batch.ligand_mask)[..., None]
+    np.testing.assert_allclose(
+        np.asarray(fast["pred_ligand_pos"]) * lmask,
+        np.asarray(ref["pred_ligand_pos"]) * lmask,
+        atol=2e-4, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast["pred_ligand_v"]) * lmask,
+        np.asarray(ref["pred_ligand_v"]) * lmask,
+        atol=2e-3, rtol=1e-2,
+    )

@@ -1,0 +1,113 @@
+"""Training infra tests: optimizer/scheduler factories, train step, checkpoint
+save/load round-trip, multi-device mesh step."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from targetdiff_tpu.config import Config
+from targetdiff_tpu.trainer import TrainState, create_train_state, make_eval_step, make_train_step
+from targetdiff_tpu.utils import train as TU
+from targetdiff_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from tests.test_model import model_config, random_batch
+
+from targetdiff_tpu.models.score_model import DiffusionModel
+
+PROTEIN_DIM, NUM_CLASSES = 27, 13
+
+
+@pytest.fixture(scope="module")
+def setup():
+    """NOTE: the train step donates its input state, so each test builds its
+    own fresh TrainState from this factory."""
+    cfg = model_config()
+    model = DiffusionModel(cfg, PROTEIN_DIM, NUM_CLASSES, max_protein=16, max_ligand=6)
+    opt = TU.get_optimizer(
+        Config(dict(type="adam", lr=3e-3, weight_decay=0, beta1=0.95, beta2=0.999,
+                    max_grad_norm=8.0))
+    )
+    batch = random_batch()
+
+    def fresh_state():
+        return create_train_state(model, opt, jax.random.PRNGKey(0), batch)
+
+    return cfg, model, opt, batch, fresh_state
+
+
+def test_train_step_reduces_loss(setup):
+    cfg, model, opt, batch, fresh_state = setup
+    state = fresh_state()
+    step = make_train_step(model, opt, pos_noise_std=0.1)
+    key = jax.random.PRNGKey(42)
+    losses = []
+    for i in range(30):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i % 3))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])  # overfits a fixed batch
+
+
+def test_eval_step(setup):
+    cfg, model, opt, batch, fresh_state = setup
+    state = fresh_state()
+    ev = make_eval_step(model)
+    out = ev(state.params, batch, 5, jax.random.PRNGKey(0))
+    assert np.isfinite(float(out["loss"]))
+    assert out["pred_v"].shape == (2, 6, NUM_CLASSES)
+
+
+def test_plateau_scheduler():
+    s = TU.PlateauScheduler(factor=0.5, patience=2, min_lr=1e-5, initial_lr=1e-3)
+    assert s.step(1.0) == 1e-3
+    assert s.step(0.9) == 1e-3  # improvement
+    for _ in range(2):
+        s.step(0.95)
+    assert s.step(0.95) == pytest.approx(5e-4)  # patience exceeded -> reduce
+    d = s.state_dict()
+    s2 = TU.PlateauScheduler(factor=0.5, patience=2, min_lr=1e-5)
+    s2.load_state_dict(d)
+    assert s2.lr == s.lr
+
+
+def test_expmin_scheduler():
+    s = TU.ExpMinScheduler(base_lr=1e-3, factor=0.5, min_lr=1e-5)
+    assert s.step() == pytest.approx(5e-4)
+    assert s.step() == pytest.approx(2.5e-4)
+    for _ in range(20):
+        s.step()
+    assert s.lr == 1e-5
+
+
+def test_lr_injection(setup):
+    cfg, model, opt, batch, fresh_state = setup
+    state = fresh_state()
+    TU.set_learning_rate(state.opt_state, 3.3e-4)
+    assert TU.get_learning_rate(state.opt_state) == pytest.approx(3.3e-4)
+
+
+def test_checkpoint_roundtrip(setup):
+    cfg, model, opt, batch, fresh_state = setup
+    state = fresh_state()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.npz")
+        save_checkpoint(path, cfg, state.params, state.opt_state,
+                        {"lr": 1e-3, "best": 0.5, "num_bad": 0}, 123)
+        ck = load_checkpoint(path, params_template=state.params,
+                             opt_template=state.opt_state)
+        assert ck["iteration"] == 123
+        assert ck["config"].hidden_dim == cfg.hidden_dim
+        # params identical
+        for a, b in zip(jax.tree_util.tree_leaves(ck["params"]),
+                        jax.tree_util.tree_leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert ck["scheduler"]["best"] == 0.5
+
+
+def test_multichip_dryrun():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

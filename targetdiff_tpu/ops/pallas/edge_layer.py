@@ -120,7 +120,9 @@ def _edge_mlp(et4, rbf, hi_term, hj, w1e, w1r, w1j, b1, lns, lnb, w2, b2, K, dty
         jnp.dot(et4.astype(dtype), w1e.astype(dtype), preferred_element_type=jnp.float32)
         + jnp.dot(rbf.astype(dtype), w1r.astype(dtype), preferred_element_type=jnp.float32)
         + jnp.dot(hj.astype(dtype), w1j.astype(dtype), preferred_element_type=jnp.float32)
-        + jnp.repeat(hi_term, K, axis=0)
+        + jnp.broadcast_to(hi_term[:, None, :], (hi_term.shape[0], K, hi_term.shape[1])).reshape(
+            hi_term.shape[0] * K, hi_term.shape[1]
+        )
         + b1.astype(jnp.float32)
     )
     z = _ln_relu(z, lns, lnb).astype(dtype)
@@ -142,7 +144,8 @@ def _edge_geometry(x_ref, onehot_f32, rows, offsets_ref, coeff, K):
     x_all = x_ref[:]  # [N, 3] f32
     xj = jnp.dot(onehot_f32, x_all, preferred_element_type=jnp.float32)  # [TNK, 3]
     x_tile = x_ref[rows]
-    xi = jnp.repeat(x_tile, K, axis=0)
+    TNx = x_tile.shape[0]
+    xi = jnp.broadcast_to(x_tile[:, None, :], (TNx, K, 3)).reshape(TNx * K, 3)
     rel = xi - xj
     dist = jnp.sqrt((rel * rel).sum(-1, keepdims=True) + 1e-16)  # [TNK, 1]
     d = dist - offsets_ref[:]  # [TNK, 1] - [1, R] -> [TNK, R]
@@ -154,7 +157,8 @@ def _attention_alpha(k, q_tile, v_scale_mask, n_heads, dh, K, S, St, TN):
     """Masked per-center softmax. k [TNK, H]; q_tile [TN, H];
     v_scale_mask [TNK, 1] (0/1 neighbor validity). Returns alpha [TNK, heads].
     S [H, heads] sums lane blocks per head; St its transpose."""
-    q_rep = jnp.repeat(q_tile, K, axis=0)  # [TNK, H]
+    TNq, Hq = q_tile.shape
+    q_rep = jnp.broadcast_to(q_tile[:, None, :], (TNq, K, Hq)).reshape(TNq * K, Hq)
     prod = (k * q_rep).astype(jnp.float32)
     logits = jnp.dot(prod, S, preferred_element_type=jnp.float32) / math.sqrt(dh)
     logits = jnp.where(v_scale_mask > 0, logits, NEG)
@@ -185,11 +189,9 @@ def _x2h_kernel(
     TNK = TN * K
     dh = H // n_heads
 
-    idxv = idx_ref[:, 0:1]  # [TNK, 1] int32 (block-sliced per tile)
-    iota_m = jax.lax.broadcasted_iota(jnp.int32, (TNK, N), 1)
-    onehot = (idxv == iota_m)
-    onehot_d = onehot.astype(dtype)
-    onehot_f = onehot.astype(jnp.float32)
+    idx_t, et4, nm, ew = _edge_scalars_2d(idx_ref, etype_ref, nmask_ref, ew_ref, TN, K)
+    onehot_d = _onehot_from_idx(idx_t, N, TN, K, dtype)
+    onehot_f = _onehot_from_idx(idx_t, N, TN, K, jnp.float32)
 
     h_all = h_ref[:]  # [N, H]
     hj = jnp.dot(onehot_d, h_all.astype(dtype), preferred_element_type=jnp.float32)
@@ -197,9 +199,6 @@ def _x2h_kernel(
 
     _, _, rbf = _edge_geometry(x_ref, onehot_f, rows, offsets_ref, coeff, K)
 
-    et = etype_ref[:, 0:1]  # [TNK, 1]
-    iota4 = jax.lax.broadcasted_iota(jnp.int32, (TNK, 4), 1)
-    et4 = (et == iota4).astype(jnp.float32)
     # r_feat = outer(edge_type_onehot, rbf): type-major blocks of R
     r_feat = jnp.concatenate([rbf * et4[:, i : i + 1] for i in range(4)], axis=1)
 
@@ -212,13 +211,12 @@ def _x2h_kernel(
                    preferred_element_type=jnp.float32)
     v = _edge_mlp(et4, r_feat, hi_v, hj, p.hv_w1e[:], p.hv_w1r[:], p.hv_w1j[:],
                   p.hv_b1[:], p.hv_lns[:], p.hv_lnb[:], p.hv_w2[:], p.hv_b2[:], K, dtype)
-    v = v * ew_ref[:, 0:1]
+    v = v * ew
 
     q = _node_mlp(h_tile, p.hq_w1[:], p.hq_b1[:], p.hq_lns[:], p.hq_lnb[:],
                   p.hq_w2[:], p.hq_b2[:], dtype)
 
     S, St = _head_matrices(H, n_heads, jnp.float32)
-    nm = nmask_ref[:, 0:1]
     alpha = _attention_alpha(k.astype(dtype), q.astype(dtype), nm, n_heads, dh, K, S, St, TN)
     alpha128 = jnp.dot(alpha, St, preferred_element_type=jnp.float32)  # [TNK, H]
     m = alpha128 * v
@@ -236,11 +234,9 @@ def _h2x_kernel(
     TNK = TN * K
     dh = H // n_heads
 
-    idxv = idx_ref[:, 0:1]
-    iota_m = jax.lax.broadcasted_iota(jnp.int32, (TNK, N), 1)
-    onehot = (idxv == iota_m)
-    onehot_d = onehot.astype(dtype)
-    onehot_f = onehot.astype(jnp.float32)
+    idx_t, et4, nm, ew = _edge_scalars_2d(idx_ref, etype_ref, nmask_ref, ew_ref, TN, K)
+    onehot_d = _onehot_from_idx(idx_t, N, TN, K, dtype)
+    onehot_f = _onehot_from_idx(idx_t, N, TN, K, jnp.float32)
 
     h_all = h_ref[:]
     hj = jnp.dot(onehot_d, h_all.astype(dtype), preferred_element_type=jnp.float32)
@@ -248,9 +244,6 @@ def _h2x_kernel(
 
     rel, dist, rbf = _edge_geometry(x_ref, onehot_f, rows, offsets_ref, coeff, K)
 
-    et = etype_ref[:, 0:1]
-    iota4 = jax.lax.broadcasted_iota(jnp.int32, (TNK, 4), 1)
-    et4 = (et == iota4).astype(jnp.float32)
     r_feat = jnp.concatenate([rbf * et4[:, i : i + 1] for i in range(4)], axis=1)
 
     p = p_refs
@@ -262,13 +255,12 @@ def _h2x_kernel(
                    preferred_element_type=jnp.float32)
     v16 = _edge_mlp(et4, r_feat, hi_v, hj, p.xv_w1e[:], p.xv_w1r[:], p.xv_w1j[:],
                     p.xv_b1[:], p.xv_lns[:], p.xv_lnb[:], p.xv_w2[:], p.xv_b2[:], K, dtype)
-    v16 = v16 * ew_ref[:, 0:1]  # [TNK, heads]
+    v16 = v16 * ew  # [TNK, heads]
 
     q = _node_mlp(h_tile, p.xq_w1[:], p.xq_b1[:], p.xq_lns[:], p.xq_lnb[:],
                   p.xq_w2[:], p.xq_b2[:], dtype)
 
     S, St = _head_matrices(H, n_heads, jnp.float32)
-    nm = nmask_ref[:, 0:1]
     alpha = _attention_alpha(k.astype(dtype), q.astype(dtype), nm, n_heads, dh, K, S, St, TN)
 
     # scalar gate per edge: mean over heads of alpha * v (head-mean commutes
@@ -280,10 +272,25 @@ def _h2x_kernel(
     xout_ref[...] = x_tile + delta * mlig_ref[rows]
 
 
-def _flat_edges(arr):
-    """[B, N, K] -> [B, N*K, 1] so kernels see [TNK, 1] tiles."""
-    B, N, K = arr.shape
-    return arr.reshape(B, N * K, 1)
+def _edge_scalars_2d(idx_ref, etype_ref, nmask_ref, ew_ref, TN, K):
+    """Read [TN, K] tiles and lift them to edge-major [TNK, .] via
+    leading-dim-only reshapes (layout-free on TPU: K is the sublane dim of
+    the intermediate 3D form, lanes are untouched)."""
+    TNK = TN * K
+    idx_t = idx_ref[...]  # [TN, K] int32
+    et_t = etype_ref[...]
+    nm = nmask_ref[...][:, :, None].reshape(TNK, 1)
+    ew = ew_ref[...][:, :, None].reshape(TNK, 1)
+    iota4 = jax.lax.broadcasted_iota(jnp.int32, (TN, K, 4), 2)
+    et4 = (et_t[:, :, None] == iota4).astype(jnp.float32).reshape(TNK, 4)
+    return idx_t, et4, nm, ew
+
+
+def _onehot_from_idx(idx_t, N, TN, K, dtype):
+    """[TN, K] indices -> [TNK, N] one-hot selection matrix, built in 3D then
+    flattened over leading dims only."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (TN, K, N), 2)
+    return (idx_t[:, :, None] == iota).astype(dtype).reshape(TN * K, N)
 
 
 @functools.partial(
@@ -308,10 +315,10 @@ def x2h_attention_layer(
     in_specs = [
         pl.BlockSpec((1, N, H), lambda b, t: (b, 0, 0)),
         pl.BlockSpec((1, N, 3), lambda b, t: (b, 0, 0)),
-        pl.BlockSpec((1, TNK, 1), lambda b, t: (b, t, 0)),
-        pl.BlockSpec((1, TNK, 1), lambda b, t: (b, t, 0)),
-        pl.BlockSpec((1, TNK, 1), lambda b, t: (b, t, 0)),
-        pl.BlockSpec((1, TNK, 1), lambda b, t: (b, t, 0)),
+        pl.BlockSpec((1, TN, K), lambda b, t: (b, t, 0)),
+        pl.BlockSpec((1, TN, K), lambda b, t: (b, t, 0)),
+        pl.BlockSpec((1, TN, K), lambda b, t: (b, t, 0)),
+        pl.BlockSpec((1, TN, K), lambda b, t: (b, t, 0)),
         pl.BlockSpec((1, offsets.shape[-1]), lambda b, t: (0, 0)),
     ] + [pl.BlockSpec(p.shape, lambda b, t: (0, 0)) for p in params2d]
 
@@ -323,8 +330,8 @@ def x2h_attention_layer(
         out_shape=jax.ShapeDtypeStruct((B, N, H), h.dtype),
         interpret=interpret,
     )(
-        h, x, _flat_edges(idx), _flat_edges(nbr_mask.astype(jnp.float32)),
-        _flat_edges(etype.astype(jnp.int32)), _flat_edges(e_w.astype(jnp.float32)),
+        h, x, idx, nbr_mask.astype(jnp.float32),
+        etype.astype(jnp.int32), e_w.astype(jnp.float32),
         offsets.reshape(1, -1), *params2d,
     )
     return out
@@ -352,10 +359,10 @@ def h2x_attention_layer(
     in_specs = [
         pl.BlockSpec((1, N, H), lambda b, t: (b, 0, 0)),
         pl.BlockSpec((1, N, 3), lambda b, t: (b, 0, 0)),
-        pl.BlockSpec((1, TNK, 1), lambda b, t: (b, t, 0)),
-        pl.BlockSpec((1, TNK, 1), lambda b, t: (b, t, 0)),
-        pl.BlockSpec((1, TNK, 1), lambda b, t: (b, t, 0)),
-        pl.BlockSpec((1, TNK, 1), lambda b, t: (b, t, 0)),
+        pl.BlockSpec((1, TN, K), lambda b, t: (b, t, 0)),
+        pl.BlockSpec((1, TN, K), lambda b, t: (b, t, 0)),
+        pl.BlockSpec((1, TN, K), lambda b, t: (b, t, 0)),
+        pl.BlockSpec((1, TN, K), lambda b, t: (b, t, 0)),
         pl.BlockSpec((1, N, 1), lambda b, t: (b, 0, 0)),
         pl.BlockSpec((1, offsets.shape[-1]), lambda b, t: (0, 0)),
     ] + [pl.BlockSpec(p.shape, lambda b, t: (0, 0)) for p in params2d]
@@ -368,8 +375,8 @@ def h2x_attention_layer(
         out_shape=jax.ShapeDtypeStruct((B, N, 3), x.dtype),
         interpret=interpret,
     )(
-        h, x, _flat_edges(idx), _flat_edges(nbr_mask.astype(jnp.float32)),
-        _flat_edges(etype.astype(jnp.int32)), _flat_edges(e_w.astype(jnp.float32)),
+        h, x, idx, nbr_mask.astype(jnp.float32),
+        etype.astype(jnp.int32), e_w.astype(jnp.float32),
         mask_ligand.astype(jnp.float32)[..., None], offsets.reshape(1, -1), *params2d,
     )
     return out

@@ -272,15 +272,22 @@ def _h2x_kernel(
     xout_ref[...] = x_tile + delta * mlig_ref[rows]
 
 
+def _lift_scalar(v2, TN, K):
+    """[TN, K] -> [TNK, 1]. Mosaic rejects a bare 2D->3D expand_dims followed
+    by a leading-dim merge, but accepts broadcast-to->=8 lanes + merge + slice
+    (empirically verified)."""
+    v3 = jnp.broadcast_to(v2[:, :, None], (TN, K, 8))
+    return v3.reshape(TN * K, 8)[:, :1]
+
+
 def _edge_scalars_2d(idx_ref, etype_ref, nmask_ref, ew_ref, TN, K):
     """Read [TN, K] tiles and lift them to edge-major [TNK, .] via
-    leading-dim-only reshapes (layout-free on TPU: K is the sublane dim of
-    the intermediate 3D form, lanes are untouched)."""
+    leading-dim-only merges (layout-free on TPU)."""
     TNK = TN * K
     idx_t = idx_ref[...]  # [TN, K] int32
     et_t = etype_ref[...]
-    nm = nmask_ref[...][:, :, None].reshape(TNK, 1)
-    ew = ew_ref[...][:, :, None].reshape(TNK, 1)
+    nm = _lift_scalar(nmask_ref[...], TN, K)
+    ew = _lift_scalar(ew_ref[...], TN, K)
     iota4 = jax.lax.broadcasted_iota(jnp.int32, (TN, K, 4), 2)
     et4 = (et_t[:, :, None] == iota4).astype(jnp.float32).reshape(TNK, 4)
     return idx_t, et4, nm, ew

@@ -67,6 +67,52 @@ class PDBProtein:
         return sym.capitalize()
 
     def _parse(self):
+        from ..utils.native import get_native
+
+        nat = get_native()
+        if nat is not None:
+            self._parse_native(nat)
+            return
+        self._parse_python()
+
+    def _parse_native(self, nat):
+        """Fast path: column parsing + residue keying in C++ (tdnative);
+        residue assembly stays in Python."""
+        raw = nat.parse_pdb_atoms(self.block)
+        lines = self.block.splitlines()
+        n = len(raw["element"])
+        pos = np.asarray(raw["pos"], np.float32).reshape(n, 3)
+        for i in range(n):
+            z = raw["element"][i]
+            self.element.append(z)
+            self.atomic_weight.append(PT.atomic_weight(z))
+            self.pos.append(pos[i])
+            name = raw["atom_name"][i]
+            self.atom_name.append(name)
+            self.is_backbone.append(bool(raw["is_backbone"][i]))
+            self.atom_to_aa_type.append(raw["aa_type"][i])
+            self.atoms.append({
+                "line": lines[raw["line_index"][i]],
+                "atom_name": name,
+                "res_name": AA_NUMBER_NAME[raw["aa_type"][i]],
+            })
+        residues_tmp: Dict[int, Dict] = {}
+        for i in range(n):
+            rk = raw["res_key"][i]
+            if rk not in residues_tmp:
+                residues_tmp[rk] = {
+                    "name": AA_NUMBER_NAME[raw["aa_type"][i]], "atoms": [i],
+                }
+            else:
+                residues_tmp[rk]["atoms"].append(i)
+        self.residues = [residues_tmp[k] for k in sorted(residues_tmp)]
+        self._assemble_residues()
+        for line in self.block.splitlines():
+            if line[0:6].strip() == "HEADER":
+                self.title = line[10:].strip().lower()
+                break
+
+    def _parse_python(self):
         residues_tmp: Dict[str, Dict] = {}
         for line in self.block.splitlines():
             rec = line[0:6].strip()
@@ -110,6 +156,9 @@ class PDBProtein:
                 residues_tmp[key]["atoms"].append(idx)
 
         self.residues = list(residues_tmp.values())
+        self._assemble_residues()
+
+    def _assemble_residues(self):
         for residue in self.residues:
             total = np.zeros(3, np.float32)
             mass = 0.0

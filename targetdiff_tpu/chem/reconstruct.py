@@ -38,6 +38,14 @@ class MolReconsError(Exception):
 
 def _candidate_bonds(pos: np.ndarray, z: Sequence[int], tol: float = 0.45):
     """All pairs within covalent-radius sum + tol (and > 0.4 A apart)."""
+    from ..utils.native import get_native
+
+    nat = get_native()
+    if nat is not None:
+        return nat.candidate_bonds(
+            [float(v) for v in np.asarray(pos, np.float64).ravel()],
+            [int(e) for e in z], float(tol),
+        )
     n = len(pos)
     radii = np.array([PT.covalent_radius(int(e)) for e in z])
     diff = pos[:, None, :] - pos[None, :, :]

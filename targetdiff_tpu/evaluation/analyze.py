@@ -75,14 +75,7 @@ def check_stability(
     assert len(atom_types) == n
 
     sym = [PT.symbol(int(z)) for z in atom_types]
-    # vectorized pairwise distances; bond-order loop kept simple (n <= ~60)
-    valences = np.zeros(n, np.int64)
-    for i in range(n):
-        for j in range(i + 1, n):
-            dist = float(np.linalg.norm(pos[i] - pos[j]))
-            order = get_bond_order(sym[i], sym[j], dist)
-            valences[i] += order
-            valences[j] += order
+    valences = _count_valences(pos, atom_types, sym, n)
 
     n_stable = 0
     for i in range(n):
@@ -99,6 +92,50 @@ def check_stability(
     if return_nr_bonds:
         return n_stable == n, int(n_stable), n, valences
     return n_stable == n, int(n_stable), n
+
+
+_NATIVE_TABLE = None
+
+
+def _native_table():
+    """Flatten the bond tables into the 'Z1_Z2' -> (b1,b2,b3) form the C++
+    kernel consumes (symmetric pairs included once per direction)."""
+    global _NATIVE_TABLE
+    if _NATIVE_TABLE is None:
+        t = _tables()
+        sym2z = {"H": 1, "C": 6, "N": 7, "O": 8, "F": 9, "P": 15, "S": 16, "Cl": 17}
+        out = {}
+        for s1, inner in t["bonds1"].items():
+            for s2, v1 in inner.items():
+                z1, z2 = sym2z.get(s1), sym2z.get(s2)
+                if z1 is None or z2 is None:
+                    continue
+                v2 = t["bonds2"].get(s1, {}).get(s2, -1)
+                v3 = t["bonds3"].get(s1, {}).get(s2, -1)
+                out[f"{z1}_{z2}"] = (float(v1), float(v2), float(v3))
+        _NATIVE_TABLE = out
+    return _NATIVE_TABLE
+
+
+def _count_valences(pos, atom_types, sym, n):
+    from ..utils.native import get_native
+
+    nat = get_native()
+    if nat is not None:
+        vals = nat.bond_order_valences(
+            [float(v) for v in np.asarray(pos, np.float64).ravel()],
+            [int(z) for z in atom_types],
+            _native_table(),
+        )
+        return np.asarray(vals, np.int64)
+    valences = np.zeros(n, np.int64)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dist = float(np.linalg.norm(pos[i] - pos[j]))
+            order = get_bond_order(sym[i], sym[j], dist)
+            valences[i] += order
+            valences[j] += order
+    return valences
 
 
 # -- distribution distances (reference: utils/evaluation/analyze.py:60-88) --

@@ -139,10 +139,20 @@ def _node_mlp(h_tile, w1, b1, lns, lnb, w2, b2, dtype):
     )
 
 
-def _edge_geometry(x_ref, onehot_f32, rows, offsets_ref, coeff, K):
-    """rel [TNK, 3], dist [TNK, 1], rbf [TNK, R] from current coordinates."""
+def _edge_geometry(x_ref, onehot_d, rows, offsets_ref, coeff, K, dtype):
+    """rel [TNK, 3], dist [TNK, 1], rbf [TNK, R] from current coordinates.
+
+    The coordinate gather reuses the bf16 one-hot matmul with an exact hi/lo
+    split (x = round-to-bf16(x) + residual): one-hot selection is exact in any
+    dtype, so two bf16 matmuls reconstruct xj to full f32 precision at 2x the
+    MXU rate of an f32 matmul."""
     x_all = x_ref[:]  # [N, 3] f32
-    xj = jnp.dot(onehot_f32, x_all, preferred_element_type=jnp.float32)  # [TNK, 3]
+    x_hi = x_all.astype(dtype)
+    x_lo = (x_all - x_hi.astype(jnp.float32)).astype(dtype)
+    xj = (
+        jnp.dot(onehot_d, x_hi, preferred_element_type=jnp.float32)
+        + jnp.dot(onehot_d, x_lo, preferred_element_type=jnp.float32)
+    )  # [TNK, 3]
     x_tile = x_ref[rows]
     TNx = x_tile.shape[0]
     xi = jnp.broadcast_to(x_tile[:, None, :], (TNx, K, 3)).reshape(TNx * K, 3)
@@ -191,13 +201,12 @@ def _x2h_kernel(
 
     idx_t, et4, nm, ew = _edge_scalars_2d(idx_ref, etype_ref, nmask_ref, ew_ref, TN, K)
     onehot_d = _onehot_from_idx(idx_t, N, TN, K, dtype)
-    onehot_f = _onehot_from_idx(idx_t, N, TN, K, jnp.float32)
 
     h_all = h_ref[:]  # [N, H]
     hj = jnp.dot(onehot_d, h_all.astype(dtype), preferred_element_type=jnp.float32)
     h_tile = h_ref[rows, :]  # [TN, H]
 
-    _, _, rbf = _edge_geometry(x_ref, onehot_f, rows, offsets_ref, coeff, K)
+    _, _, rbf = _edge_geometry(x_ref, onehot_d, rows, offsets_ref, coeff, K, dtype)
 
     # r_feat = outer(edge_type_onehot, rbf): type-major blocks of R
     r_feat = jnp.concatenate([rbf * et4[:, i : i + 1] for i in range(4)], axis=1)
@@ -236,13 +245,12 @@ def _h2x_kernel(
 
     idx_t, et4, nm, ew = _edge_scalars_2d(idx_ref, etype_ref, nmask_ref, ew_ref, TN, K)
     onehot_d = _onehot_from_idx(idx_t, N, TN, K, dtype)
-    onehot_f = _onehot_from_idx(idx_t, N, TN, K, jnp.float32)
 
     h_all = h_ref[:]
     hj = jnp.dot(onehot_d, h_all.astype(dtype), preferred_element_type=jnp.float32)
     h_tile = h_ref[rows, :]
 
-    rel, dist, rbf = _edge_geometry(x_ref, onehot_f, rows, offsets_ref, coeff, K)
+    rel, dist, rbf = _edge_geometry(x_ref, onehot_d, rows, offsets_ref, coeff, K, dtype)
 
     r_feat = jnp.concatenate([rbf * et4[:, i : i + 1] for i in range(4)], axis=1)
 

@@ -34,6 +34,7 @@ def main():
 
     num_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    impl = sys.argv[3] if len(sys.argv) > 3 else "fast"  # fused Pallas kernels
     dtype = jnp.bfloat16
 
     # realistic pocket/ligand sizes: ~330 valid pocket atoms (10A crossdocked
@@ -52,7 +53,9 @@ def main():
     init_pos, init_v = init_ligand_state(key, b, model.num_classes)
 
     fn = jax.jit(
-        lambda p, k, bb, ip, iv: model.sample_diffusion(p, k, bb, ip, iv, num_steps=num_steps)
+        lambda p, k, bb, ip, iv: model.sample_diffusion(
+            p, k, bb, ip, iv, num_steps=num_steps, impl=impl, dtype=dtype
+        )
     )
 
     # warmup/compile

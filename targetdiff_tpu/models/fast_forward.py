@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ..config import Config
 from ..data.batch import ComplexBatch
 from ..ops import graph as G
+from ..ops.pallas.block_denoiser import BlockParams, EwParams, block_denoiser
 from ..ops.pallas.edge_layer import (
     H2XParams,
     X2HParams,
@@ -71,6 +72,69 @@ def extract_layer_params(block: Dict, hidden_dim: int, num_r_gaussian: int):
     return px, ph
 
 
+def extract_block_params(rp: Dict, num_layers: int, hidden: int, num_r_gaussian: int,
+                         dtype=jnp.bfloat16):
+    """Stack per-layer flax params into the megakernel's [L, ...] layout."""
+    import numpy as np
+
+    er = 4 + num_r_gaussian * 4
+
+    def stack_mlp_edge(name_mlp):
+        w1er, w1i, w1j, b1, lns, lnb, w2, b2 = [], [], [], [], [], [], [], []
+        for l in range(num_layers):
+            sub = "x2h_0" if name_mlp.startswith("h") else "h2x_0"
+            mp = rp[f"block_{l}"][sub][f"{name_mlp}_func"]
+            w1 = mp["lin_0"]["kernel"]
+            w1er.append(w1[:er])
+            w1i.append(w1[er : er + hidden])
+            w1j.append(w1[er + hidden :])
+            b1.append(mp["lin_0"]["bias"][None])
+            lns.append(mp["norm_0"]["scale"][None])
+            lnb.append(mp["norm_0"]["bias"][None])
+            w2.append(mp["lin_1"]["kernel"])
+            b2.append(mp["lin_1"]["bias"][None])
+        f32 = jnp.float32
+        return (
+            jnp.stack(w1er).astype(dtype), jnp.stack(w1i).astype(dtype),
+            jnp.stack(w1j).astype(dtype), jnp.stack(b1).astype(f32),
+            jnp.stack(lns).astype(f32), jnp.stack(lnb).astype(f32),
+            jnp.stack(w2).astype(dtype), jnp.stack(b2).astype(f32),
+        )
+
+    def stack_mlp_node(name_mlp):
+        w1, b1, lns, lnb, w2, b2 = [], [], [], [], [], []
+        for l in range(num_layers):
+            sub = "x2h_0" if name_mlp.startswith("h") else "h2x_0"
+            mp = rp[f"block_{l}"][sub][f"{name_mlp}_func"]
+            w1.append(mp["lin_0"]["kernel"])
+            b1.append(mp["lin_0"]["bias"][None])
+            lns.append(mp["norm_0"]["scale"][None])
+            lnb.append(mp["norm_0"]["bias"][None])
+            w2.append(mp["lin_1"]["kernel"])
+            b2.append(mp["lin_1"]["bias"][None])
+        f32 = jnp.float32
+        return (
+            jnp.stack(w1).astype(dtype), jnp.stack(b1).astype(f32),
+            jnp.stack(lns).astype(f32), jnp.stack(lnb).astype(f32),
+            jnp.stack(w2).astype(dtype), jnp.stack(b2).astype(f32),
+        )
+
+    bp = BlockParams(
+        *stack_mlp_edge("hk"), *stack_mlp_edge("hv"), *stack_mlp_node("hq"),
+        *stack_mlp_edge("xk"), *stack_mlp_edge("xv"), *stack_mlp_node("xq"),
+    )
+    ep = rp["edge_pred_layer"]
+    ew = EwParams(
+        w1=ep["lin_0"]["kernel"].astype(dtype),
+        b1=ep["lin_0"]["bias"][None].astype(jnp.float32),
+        lns=ep["norm_0"]["scale"][None].astype(jnp.float32),
+        lnb=ep["norm_0"]["bias"][None].astype(jnp.float32),
+        w2=ep["lin_1"]["kernel"].astype(dtype),
+        b2=ep["lin_1"]["bias"][None].astype(jnp.float32),
+    )
+    return ew, bp
+
+
 def _apply_mlp(params: Dict, x, act=jax.nn.relu):
     y = x @ params["lin_0"]["kernel"] + params["lin_0"]["bias"]
     mean = y.mean(-1, keepdims=True)
@@ -91,6 +155,7 @@ def fast_forward(
     time_step=None,
     dtype=jnp.bfloat16,
     interpret: bool = False,
+    mode: str = "mega",  # 'mega' (one kernel per block) | 'layers'
 ) -> Dict[str, jnp.ndarray]:
     """Equivalent of ScorePosNet.__call__ (models/score_model.py) on the
     fused kernels. Returns {pred_ligand_pos, pred_ligand_v, final_ligand_h}."""
@@ -127,10 +192,15 @@ def fast_forward(
     rp = p["refine_net"]
     offsets, coeff = gaussian_smearing_offsets(0.0, cfg.r_max, cfg.num_r_gaussian)
 
-    layer_params = [
-        extract_layer_params(rp[f"block_{l}"], hidden, cfg.num_r_gaussian)
-        for l in range(cfg.num_layers)
-    ]
+    if mode == "mega":
+        ew_p, block_p = extract_block_params(
+            rp, cfg.num_layers, hidden, cfg.num_r_gaussian, dtype=dtype
+        )
+    else:
+        layer_params = [
+            extract_layer_params(rp[f"block_{l}"], hidden, cfg.num_r_gaussian)
+            for l in range(cfg.num_layers)
+        ]
 
     for _b in range(cfg.num_blocks):
         nbh = G.knn_graph(x, node_mask, cfg.knn)
@@ -143,6 +213,14 @@ def fast_forward(
             src_lig & dst_lig, 0, jnp.where(src_lig & ~dst_lig, 1,
                                             jnp.where(~src_lig & dst_lig, 2, 3))
         ).astype(jnp.int32)
+
+        if mode == "mega":
+            h, x = block_denoiser(
+                h, x, nbh.idx, nbh.mask, etype, mask_ligand, offsets,
+                ew_p, block_p, num_layers=cfg.num_layers, n_heads=cfg.n_heads,
+                coeff=coeff, dtype=dtype, interpret=interpret,
+            )
+            continue
 
         # global edge weights from block-start distances
         # (reference: models/uni_transformer.py:312-318)

@@ -274,7 +274,7 @@ class DiffusionModel:
 
     def fast_apply(
         self, params, batch: ComplexBatch, ligand_pos, ligand_v, time_step=None,
-        dtype=jnp.bfloat16, interpret=None,
+        dtype=jnp.bfloat16, interpret=None, mode="mega",
     ):
         """Fused Pallas-kernel forward (inference path); same params as
         `apply`. Falls back to interpret mode off-TPU."""
@@ -284,7 +284,7 @@ class DiffusionModel:
             interpret = jax.default_backend() not in ("tpu", "axon")
         return fast_forward(
             self.config, params, batch, ligand_pos, ligand_v, self.num_classes,
-            time_step=time_step, dtype=dtype, interpret=interpret,
+            time_step=time_step, dtype=dtype, interpret=interpret, mode=mode,
         )
 
     # -- training loss ------------------------------------------------------

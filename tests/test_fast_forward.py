@@ -44,7 +44,11 @@ def batch_mult8(B=2, NP_=16, NL=8):
     )
 
 
-def test_fast_forward_matches_xla():
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["layers", "mega"])
+def test_fast_forward_matches_xla(mode):
     cfg = small_flagship()
     batch = batch_mult8()
     model = DiffusionModel(cfg, PROTEIN_DIM, NUM_CLASSES, max_protein=16, max_ligand=8)
@@ -54,7 +58,7 @@ def test_fast_forward_matches_xla():
     ref = model.apply(params, batch, batch.ligand_pos, batch.ligand_v, t)
     fast = model.fast_apply(
         params, batch, batch.ligand_pos, batch.ligand_v, t,
-        dtype=jnp.float32, interpret=True,
+        dtype=jnp.float32, interpret=True, mode=mode,
     )
 
     lmask = np.asarray(batch.ligand_mask)[..., None]
@@ -67,4 +71,35 @@ def test_fast_forward_matches_xla():
         np.asarray(fast["pred_ligand_v"]) * lmask,
         np.asarray(ref["pred_ligand_v"]) * lmask,
         atol=2e-3, rtol=1e-2,
+    )
+
+
+def test_fast_forward_equivariance():
+    """The fused path must keep SE(3) equivariance (rotation+translation)."""
+    cfg = small_flagship()
+    batch = batch_mult8()
+    model = DiffusionModel(cfg, PROTEIN_DIM, NUM_CLASSES, max_protein=16, max_ligand=8)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    t = jnp.array([3, 7])
+
+    Q, _ = np.linalg.qr(np.random.default_rng(7).normal(size=(3, 3)))
+    Q = Q.astype(np.float32)
+    shift = np.array([2.0, -1.0, 0.5], np.float32)
+    rot = lambda x: jnp.asarray((np.asarray(x) + shift) @ Q)
+
+    out = model.fast_apply(params, batch, batch.ligand_pos, batch.ligand_v, t,
+                           dtype=jnp.float32, interpret=True)
+    out_r = model.fast_apply(
+        params, batch._replace(protein_pos=rot(batch.protein_pos)),
+        rot(batch.ligand_pos), batch.ligand_v, t, dtype=jnp.float32, interpret=True,
+    )
+    lmask = np.asarray(batch.ligand_mask)[..., None]
+    np.testing.assert_allclose(
+        np.asarray(out_r["pred_ligand_pos"]) * lmask,
+        ((np.asarray(out["pred_ligand_pos"]) + shift) @ Q) * lmask,
+        atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_r["pred_ligand_v"]) * lmask,
+        np.asarray(out["pred_ligand_v"]) * lmask, atol=2e-3,
     )

@@ -131,12 +131,11 @@ def _block_kernel(
         iota = jax.lax.broadcasted_iota(jnp.int32, (TN, K, N), 2)
         return (idx_t[:, :, None] == iota).astype(dtype).reshape(TNK, N)
 
-    def geometry(onehot, ti, x_cur, x_hi, x_lo):
+    def geometry(onehot, x_tile, x_hi, x_lo):
         xj = (
             jnp.dot(onehot, x_hi, preferred_element_type=jnp.float32)
             + jnp.dot(onehot, x_lo, preferred_element_type=jnp.float32)
         )  # [TNK, 3]
-        x_tile = jax.lax.dynamic_slice_in_dim(x_cur, ti * TN, TN, 0)
         xi = jnp.broadcast_to(x_tile[:, None, :], (TN, K, 3)).reshape(TNK, 3)
         rel = xi - xj
         dist = jnp.sqrt((rel * rel).sum(-1, keepdims=True) + 1e-16)
@@ -159,7 +158,7 @@ def _block_kernel(
         x_hi = x_cur.astype(dtype)
         x_lo = (x_cur - x_hi.astype(jnp.float32)).astype(dtype)
         onehot = onehot_of(rows)
-        _, dist = geometry(onehot, ti, x_cur, x_hi, x_lo)
+        _, dist = geometry(onehot, xbuf[0, rows, :], x_hi, x_lo)
         rbf = jnp.exp(coeff * (dist - offsets_ref[:]) ** 2)
         z = jnp.dot(rbf.astype(dtype), ewp.w1[:], preferred_element_type=jnp.float32) + ewp.b1[:]
         z = _ln_relu(z, ewp.lns[:], ewp.lnb[:]).astype(dtype)
@@ -208,7 +207,7 @@ def _block_kernel(
             onehot = onehot_of(rows)
             hj = jnp.dot(onehot, hbuf[src], preferred_element_type=jnp.float32)
             h_tile = hbuf[src, rows, :]
-            _, dist = geometry(onehot, ti, x_cur, x_hi, x_lo)
+            _, dist = geometry(onehot, xbuf[src, rows, :], x_hi, x_lo)
             feat, _ = feat_of(rows, dist)
             nm1 = lift(nmask_ref[0, rows, :])
             ew1 = lift(ewbuf[rows, :])
@@ -235,7 +234,7 @@ def _block_kernel(
             onehot = onehot_of(rows)
             hj = jnp.dot(onehot, hbuf[dst], preferred_element_type=jnp.float32)
             h_tile = hbuf[dst, rows, :]
-            rel, dist = geometry(onehot, ti, x_cur, x_hi, x_lo)
+            rel, dist = geometry(onehot, xbuf[src, rows, :], x_hi, x_lo)
             feat, _ = feat_of(rows, dist)
             nm1 = lift(nmask_ref[0, rows, :])
             ew1 = lift(ewbuf[rows, :])
@@ -252,8 +251,7 @@ def _block_kernel(
             alpha = attention(k, q, nm1)
             s = (alpha * v16).sum(axis=-1, keepdims=True) / n_heads
             delta = (s * rel).reshape(TN, K, 3).sum(axis=1)
-            x_tile = jax.lax.dynamic_slice_in_dim(x_cur, ti * TN, TN, 0)
-            xbuf[dst, rows, :] = x_tile + delta * mlig_ref[0, rows, :]
+            xbuf[dst, rows, :] = xbuf[src, rows, :] + delta * mlig_ref[0, rows, :]
             return 0
 
         jax.lax.fori_loop(0, T, h2x_tile, 0, unroll=False)

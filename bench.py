@@ -85,4 +85,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # fall back to the XLA path if a kernel faults
+        sys.stderr.write(f"[bench] fast path failed ({type(e).__name__}: {e}); "
+                         "retrying with XLA impl\n")
+        sys.argv = [sys.argv[0], sys.argv[1] if len(sys.argv) > 1 else "1000",
+                    sys.argv[2] if len(sys.argv) > 2 else "100", "xla"]
+        main()

@@ -81,6 +81,34 @@ class FeaturizeLigandAtomProp:
         return data
 
 
+class EdgeConnection:
+    """Precompute a kNN edge list between/within protein and ligand atoms on
+    the host (reference: utils/transforms_prop.py:114-131). kind='l2l' or
+    'pl' (bipartite protein->ligand)."""
+
+    def __init__(self, kind: str = "l2l", k: int = 32):
+        assert kind in ("l2l", "pl")
+        self.kind = kind
+        self.k = k
+
+    def __call__(self, data: Dict) -> Dict:
+        lig = np.asarray(data["ligand_pos"])
+        if self.kind == "l2l":
+            src_pos = dst_pos = lig
+        else:
+            src_pos = np.asarray(data["protein_pos"])
+            dst_pos = lig
+        d = np.linalg.norm(dst_pos[:, None, :] - src_pos[None, :, :], axis=-1)
+        if self.kind == "l2l":
+            np.fill_diagonal(d, np.inf)
+        k = min(self.k, d.shape[1] - (1 if self.kind == "l2l" else 0))
+        nn = np.argsort(d, axis=1)[:, :k]
+        dst = np.repeat(np.arange(len(dst_pos)), k)
+        src = nn.reshape(-1)
+        data[f"{self.kind}_edge_index"] = np.stack([src, dst])
+        return data
+
+
 class LigandCountNeighbors:
     """Bond-degree features from the bond graph
     (reference: utils/transforms_prop.py:81-111)."""

@@ -52,11 +52,13 @@ def main():
     key = jax.random.PRNGKey(1)
     init_pos, init_v = init_ligand_state(key, b, model.num_classes)
 
-    fn = jax.jit(
-        lambda p, k, bb, ip, iv: model.sample_diffusion(
-            p, k, bb, ip, iv, num_steps=num_steps, impl=impl, dtype=dtype
+    # no outer jit: sample_diffusion jits its scan chunks internally (long
+    # single device executions trip the remote-TPU RPC watchdog)
+    def fn(p, k, bb, ip, iv):
+        return model.sample_diffusion(
+            p, k, bb, ip, iv, num_steps=num_steps, impl=impl, dtype=dtype,
+            scan_chunk=100,
         )
-    )
 
     # warmup/compile
     res = fn(params, key, b, init_pos, init_v)

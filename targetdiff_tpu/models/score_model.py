@@ -235,6 +235,7 @@ class DiffusionModel:
             v_beta_s=config.get("v_beta_s", 0.01),
         )
         self.num_timesteps = int(self.pos_sched.num_timesteps)
+        self._jit_cache: Dict[Any, Any] = {}
 
         self.net = ScorePosNet(
             config=config,
@@ -415,6 +416,56 @@ class DiffusionModel:
 
     # -- reverse process ----------------------------------------------------
 
+    def _sample_step(
+        self, params, cbatch: ComplexBatch, lmask_f, offset, carry, t_scalar,
+        *, impl, dtype, pos_only, return_traj, return_v_probs,
+    ):
+        """One reverse-DDPM step (reference: molopt_score_model.py:649-693)."""
+        ligand_pos, ligand_v, k = carry
+        k, k_pos, k_v = jax.random.split(k, 3)
+        t = jnp.full((cbatch.num_graphs,), t_scalar, jnp.int32)
+        if impl == "fast":
+            preds = self.fast_apply(params, cbatch, ligand_pos, ligand_v, t, dtype=dtype)
+        else:
+            preds = self.apply(params, cbatch, ligand_pos, ligand_v, t)
+
+        if self.model_mean_type == "noise":
+            pred_pos_noise = preds["pred_ligand_pos"] - ligand_pos
+            pos0_from_e = D.predict_x0_from_eps(self.pos_sched, ligand_pos, pred_pos_noise, t)
+        elif self.model_mean_type == "C0":
+            pos0_from_e = preds["pred_ligand_pos"]
+        else:
+            raise ValueError(self.model_mean_type)
+        v0_from_e = preds["pred_ligand_v"]
+
+        pos_model_mean = D.q_pos_posterior(self.pos_sched, pos0_from_e, ligand_pos, t)
+        pos_log_variance = D.extract(self.pos_sched.posterior_logvar, t, 3)
+        nonzero = (1.0 - (t == 0).astype(jnp.float32))[:, None, None]
+        noise = jax.random.normal(k_pos, ligand_pos.shape, ligand_pos.dtype)
+        ligand_pos_next = pos_model_mean + nonzero * jnp.exp(0.5 * pos_log_variance) * noise
+        ligand_pos = ligand_pos_next * lmask_f
+
+        log_ligand_v_recon = jax.nn.log_softmax(v0_from_e, axis=-1)
+        if pos_only:
+            log_model_prob = log_ligand_v_recon  # unused
+            ligand_v_next = ligand_v
+        else:
+            log_ligand_v = D.index_to_log_onehot(ligand_v, self.num_classes)
+            log_model_prob = D.q_v_posterior(
+                self.v_sched, log_ligand_v_recon, log_ligand_v, t, self.num_classes
+            )
+            ligand_v_next = D.log_sample_categorical(k_v, log_model_prob)
+        ligand_v = ligand_v_next
+
+        ys = {}
+        if return_traj:
+            ys["pos"] = ligand_pos + offset
+            ys["v"] = ligand_v
+        if return_v_probs:
+            ys["v0"] = log_ligand_v_recon
+            ys["vt"] = log_model_prob
+        return (ligand_pos, ligand_v, k), ys
+
     def sample_diffusion(
         self,
         params,
@@ -429,10 +480,17 @@ class DiffusionModel:
         return_v_probs: bool = False,
         impl: str = "xla",  # 'xla' | 'fast' (fused Pallas kernels)
         dtype=jnp.bfloat16,
+        scan_chunk: Optional[int] = 100,
     ) -> SampleResult:
-        """Full reverse DDPM as one on-device `lax.scan`
+        """Full reverse DDPM as on-device `lax.scan`
         (reference: models/molopt_score_model.py:633-703, which loops in
-        Python and offloads the trajectory every step)."""
+        Python and offloads the trajectory every step).
+
+        `scan_chunk`: split the scan into chunks of this many steps with a
+        host dispatch between chunks (one compile, reused). Long single
+        device executions (>~2 min) can trip RPC watchdogs on remote-attached
+        TPUs; chunking costs ~1 dispatch per chunk. None = single scan.
+        """
         if num_steps is None:
             num_steps = self.num_timesteps
         center_pos_mode = center_pos_mode or self.center_pos_mode
@@ -447,54 +505,63 @@ class DiffusionModel:
         time_seq = np.arange(self.num_timesteps - num_steps, self.num_timesteps)[::-1].copy()
 
         def step(carry, t_scalar):
-            ligand_pos, ligand_v, k = carry
-            k, k_pos, k_v = jax.random.split(k, 3)
-            t = jnp.full((batch.num_graphs,), t_scalar, jnp.int32)
-            if impl == "fast":
-                preds = self.fast_apply(params, cbatch, ligand_pos, ligand_v, t, dtype=dtype)
-            else:
-                preds = self.apply(params, cbatch, ligand_pos, ligand_v, t)
+            return self._sample_step(
+                params, cbatch, lmask_f, offset, carry, t_scalar,
+                impl=impl, dtype=dtype, pos_only=pos_only,
+                return_traj=return_traj, return_v_probs=return_v_probs,
+            )
 
-            if self.model_mean_type == "noise":
-                pred_pos_noise = preds["pred_ligand_pos"] - ligand_pos
-                pos0_from_e = D.predict_x0_from_eps(self.pos_sched, ligand_pos, pred_pos_noise, t)
-            elif self.model_mean_type == "C0":
-                pos0_from_e = preds["pred_ligand_pos"]
-            else:
-                raise ValueError(self.model_mean_type)
-            v0_from_e = preds["pred_ligand_v"]
+        ts_all = jnp.asarray(time_seq)
+        # chunking only works from op-by-op (eager) context; under an outer
+        # jit trace everything inlines into one program anyway
+        tracing = isinstance(init_ligand_pos, jax.core.Tracer)
+        if scan_chunk is None or len(time_seq) <= scan_chunk or tracing:
+            (ligand_pos, ligand_v, _), ys = jax.lax.scan(
+                step, (init_ligand_pos, init_ligand_v, key), ts_all
+            )
+        else:
+            # chunked: one jitted scan program per config, cached on the
+            # model and reused across calls/batches
+            chunk = scan_chunk
+            cache_key = ("chunk_runner", impl, str(dtype), pos_only,
+                         return_traj, return_v_probs, center_pos_mode)
+            run_chunk = self._jit_cache.get(cache_key)
+            if run_chunk is None:
 
-            pos_model_mean = D.q_pos_posterior(self.pos_sched, pos0_from_e, ligand_pos, t)
-            pos_log_variance = D.extract(self.pos_sched.posterior_logvar, t, 3)
-            nonzero = (1.0 - (t == 0).astype(jnp.float32))[:, None, None]
-            noise = jax.random.normal(k_pos, ligand_pos.shape, ligand_pos.dtype)
-            ligand_pos_next = pos_model_mean + nonzero * jnp.exp(0.5 * pos_log_variance) * noise
-            ligand_pos = ligand_pos_next * lmask_f
+                def runner(params_, cbatch_, lmask_f_, offset_, carry, ts):
+                    def step_a(carry, t_scalar):
+                        return self._sample_step(
+                            params_, cbatch_, lmask_f_, offset_, carry, t_scalar,
+                            impl=impl, dtype=dtype, pos_only=pos_only,
+                            return_traj=return_traj, return_v_probs=return_v_probs,
+                        )
 
-            log_ligand_v_recon = jax.nn.log_softmax(v0_from_e, axis=-1)
-            if pos_only:
-                log_model_prob = log_ligand_v_recon  # unused
-                ligand_v_next = ligand_v
-            else:
-                log_ligand_v = D.index_to_log_onehot(ligand_v, self.num_classes)
-                log_model_prob = D.q_v_posterior(
-                    self.v_sched, log_ligand_v_recon, log_ligand_v, t, self.num_classes
+                    return jax.lax.scan(step_a, carry, ts)
+
+                run_chunk = jax.jit(runner)
+                self._jit_cache[cache_key] = run_chunk
+
+            carry = (init_ligand_pos, init_ligand_v, key)
+            ys_parts = []
+            n_full = len(time_seq) // chunk
+            for ci in range(n_full):
+                carry, ys_c = run_chunk(
+                    params, cbatch, lmask_f, offset, carry,
+                    ts_all[ci * chunk : (ci + 1) * chunk],
                 )
-                ligand_v_next = D.log_sample_categorical(k_v, log_model_prob)
-            ligand_v = ligand_v_next
-
-            ys = {}
-            if return_traj:
-                ys["pos"] = ligand_pos + offset
-                ys["v"] = ligand_v
-            if return_v_probs:
-                ys["v0"] = log_ligand_v_recon
-                ys["vt"] = log_model_prob
-            return (ligand_pos, ligand_v, k), ys
-
-        (ligand_pos, ligand_v, _), ys = jax.lax.scan(
-            step, (init_ligand_pos, init_ligand_v, key), jnp.asarray(time_seq)
-        )
+                ys_parts.append(ys_c)
+            rem = len(time_seq) - n_full * chunk
+            if rem:
+                carry, ys_c = jax.lax.scan(step, carry, ts_all[n_full * chunk :])
+                ys_parts.append(ys_c)
+            ligand_pos, ligand_v, _ = carry
+            if ys_parts and ys_parts[0]:
+                ys = {
+                    k: jnp.concatenate([p[k] for p in ys_parts], axis=0)
+                    for k in ys_parts[0]
+                }
+            else:
+                ys = {}
 
         return SampleResult(
             pos=ligand_pos + offset,

@@ -109,13 +109,14 @@ def sample_diffusion_ligand(
     all_v_traj: List[np.ndarray] = []
     time_list: List[float] = []
 
-    sampler = jax.jit(
-        lambda p, k, b, ip, iv: model.sample_diffusion(
+    def sampler(p, k, b, ip, iv):
+        # no outer jit: sample_diffusion chunk-jits its scan internally so a
+        # single device execution stays below remote-RPC watchdog limits
+        return model.sample_diffusion(
             p, k, b, ip, iv,
             num_steps=num_steps, center_pos_mode=center_pos_mode,
             pos_only=pos_only, return_traj=return_traj,
         )
-    )
 
     done = 0
     while done < num_samples:
@@ -248,9 +249,7 @@ def sample_testset_sharded(
 
     key, k_init, k_samp = jax.random.split(key, 3)
     init_pos, init_v = init_ligand_state(k_init, batch, model.num_classes)
-    res = jax.jit(
-        lambda p, k, b, ip, iv: model.sample_diffusion(p, k, b, ip, iv, num_steps=num_steps)
-    )(params, k_samp, batch, init_pos, init_v)
+    res = model.sample_diffusion(params, k_samp, batch, init_pos, init_v, num_steps=num_steps)
 
     pos_np = np.asarray(res.pos, np.float64)
     v_np = np.asarray(res.v)

@@ -170,10 +170,11 @@ class ScorePosNet(nn.Module):
         final_ligand_pos = final_pos[:, NP:, :]  # ligand occupies the tail slots
         final_ligand_h = final_h[:, NP:, :]
 
+        v_inf_0 = TorchLinear(hidden_dim, dtype=self.dtype, name="v_inference_0")
+        v_inf_2 = TorchLinear(num_classes, dtype=self.dtype, name="v_inference_2")
+
         def v_inference(hh):
-            y = TorchLinear(hidden_dim, dtype=self.dtype, name="v_inference_0")(hh)
-            y = shifted_softplus(y)
-            return TorchLinear(num_classes, dtype=self.dtype, name="v_inference_2")(y)
+            return v_inf_2(shifted_softplus(v_inf_0(hh)))
 
         final_ligand_v = v_inference(final_ligand_h).astype(jnp.float32)
 

@@ -77,6 +77,7 @@ def build_refine_net(config: Config, max_ligand: int, dtype=None):
             x2h_out_fc=config.x2h_out_fc,
             sync_twoup=config.sync_twoup,
             max_ligand=max_ligand,
+            remat=config.get("remat", False),
             dtype=dtype,
             name="refine_net",
         )

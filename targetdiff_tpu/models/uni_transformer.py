@@ -240,6 +240,7 @@ class UniTransformerO2TwoUpdateGeneral(nn.Module):
     x2h_out_fc: bool = True
     sync_twoup: bool = False
     max_ligand: int = 0  # only needed for cutoff_mode='hybrid'
+    remat: bool = False  # rematerialize each layer in the backward pass
     dtype: Optional[jnp.dtype] = None
 
     def _connect(self, x, node_mask, mask_ligand) -> G.Neighborhood:
@@ -263,8 +264,13 @@ class UniTransformerO2TwoUpdateGeneral(nn.Module):
         # Layer parameters are shared across blocks, exactly like the
         # reference's single `base_block` ModuleList reused per block
         # (models/uni_transformer.py:306-321): instantiate once, apply per block.
+        layer_cls = AttentionLayerO2TwoUpdateNodeGeneral
+        if self.remat:
+            # rematerialize each layer's [B,N,K,*] edge intermediates in the
+            # backward pass instead of saving them (trades FLOPs for HBM)
+            layer_cls = nn.remat(layer_cls, static_argnums=(7,))
         shared_layers = [
-            AttentionLayerO2TwoUpdateNodeGeneral(
+            layer_cls(
                 self.hidden_dim, self.n_heads, self.num_r_gaussian, self.edge_feat_dim,
                 act_fn=self.act_fn, norm=self.norm, num_x2h=self.num_x2h,
                 num_h2x=self.num_h2x, r_max=self.r_max, ew_net_type=self.ew_net_type,
@@ -290,7 +296,10 @@ class UniTransformerO2TwoUpdateGeneral(nn.Module):
                 e_w = None
 
             for layer in shared_layers:
-                h, x = layer(h, x, edge_type, nbh, mask_ligand, e_w=e_w, fix_x=fix_x)
+                if self.remat:
+                    h, x = layer(h, x, edge_type, nbh, mask_ligand, e_w, fix_x)
+                else:
+                    h, x = layer(h, x, edge_type, nbh, mask_ligand, e_w=e_w, fix_x=fix_x)
             all_x.append(x)
             all_h.append(h)
 

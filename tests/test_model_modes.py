@@ -121,3 +121,21 @@ def test_scan_chunking_matches_single_scan():
                                num_steps=12, scan_chunk=5)
     np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(a.v), np.asarray(b.v))
+
+
+def test_remat_matches_no_remat():
+    """jax.checkpoint'd layers must give identical loss and gradients."""
+    batch = random_batch()
+    grads = {}
+    for remat in (False, True):
+        cfg = model_config(remat=remat)
+        model = DiffusionModel(cfg, PROTEIN_DIM, NUM_CLASSES, max_protein=16, max_ligand=6)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        loss_fn = lambda p: model.get_diffusion_loss(p, jax.random.PRNGKey(1), batch)["loss"]
+        l, g = jax.value_and_grad(loss_fn)(params)
+        grads[remat] = (float(l), g)
+    assert grads[False][0] == pytest.approx(grads[True][0], rel=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(grads[False][1]), jax.tree_util.tree_leaves(grads[True][1])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

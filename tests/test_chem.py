@@ -23,8 +23,8 @@ from targetdiff_tpu.chem.pdb import PDBProtein
 from targetdiff_tpu.chem.reconstruct import MolReconsError, reconstruct_from_generated
 from targetdiff_tpu.chem.sdf import parse_molfile_text, parse_sdf_file, read_sdf, write_sdf
 
-EXAMPLE_POCKET = "/root/reference/examples/1h36_A_rec_1h36_r88_lig_tt_docked_0_pocket10.pdb"
-EXAMPLE_LIGAND = "/root/reference/examples/3ug2_ligand.sdf"
+EXAMPLE_POCKET = "examples/1h36_A_rec_1h36_r88_lig_tt_docked_0_pocket10.pdb"
+EXAMPLE_LIGAND = "examples/3ug2_ligand.sdf"
 
 
 def make_benzene():

@@ -37,7 +37,7 @@ def test_chem_backend():
     from targetdiff_tpu.chem.backend import canonical_smiles, qed
     from targetdiff_tpu.chem.sdf import read_sdf, remove_hydrogens
 
-    mol = remove_hydrogens(read_sdf("/root/reference/examples/3ug2_ligand.sdf"))
+    mol = remove_hydrogens(read_sdf("examples/3ug2_ligand.sdf"))
     s = canonical_smiles(mol)
     assert isinstance(s, str) and len(s) > 10
     assert 0 < qed(mol) < 1

@@ -25,8 +25,8 @@ from targetdiff_tpu.data.transforms import (
     RandomRotation,
 )
 
-POCKET = "/root/reference/examples/1h36_A_rec_1h36_r88_lig_tt_docked_0_pocket10.pdb"
-LIGAND = "/root/reference/examples/3ug2_ligand.sdf"
+POCKET = "examples/1h36_A_rec_1h36_r88_lig_tt_docked_0_pocket10.pdb"
+LIGAND = "examples/3ug2_ligand.sdf"
 
 
 def test_record_store_roundtrip(tmp_path):

@@ -17,7 +17,7 @@ from targetdiff_tpu.models.score_model import DiffusionModel
 from targetdiff_tpu.sampling import sample_diffusion_ligand
 from tests.test_model import model_config
 
-EXAMPLE_POCKET = "/root/reference/examples/1h36_A_rec_1h36_r88_lig_tt_docked_0_pocket10.pdb"
+EXAMPLE_POCKET = "examples/1h36_A_rec_1h36_r88_lig_tt_docked_0_pocket10.pdb"
 
 
 def test_sample_pipeline_on_example_pocket():

@@ -10,7 +10,7 @@ from targetdiff_tpu.chem.sdf import read_sdf, remove_hydrogens
 from targetdiff_tpu.cli.evaluate_diffusion import evaluate_results
 from targetdiff_tpu.data.transforms import MAP_ATOM_TYPE_AROMATIC_TO_INDEX
 
-LIGAND = "/root/reference/examples/3ug2_ligand.sdf"
+LIGAND = "examples/3ug2_ligand.sdf"
 
 
 def test_evaluate_results_on_real_ligand(tmp_path):

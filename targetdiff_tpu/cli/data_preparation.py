@@ -22,42 +22,48 @@ from multiprocessing import Pool
 
 
 def cmd_clean(args):
+    """CrossDocked2020 v1.1 .types line format (reference
+    clean_crossdocked.py:22-54): `label affinity rmsd protein_fn ligand_fn ...`
+    where ligand_fn = <stem>_<pose>.gninatypes, the raw multi-pose sdf is
+    <stem>.sdf.gz, and the receptor pdb is protein_fn with its trailing
+    _<suffix> replaced by .pdb. The selected pose is extracted to
+    <stem>_<pose>.sdf and the receptor is copied alongside."""
+    import shutil
+
     index = []
-    kept = 0
     with open(args.types_index) as f:
         for line in f:
             fields = line.split()
-            # .types format: label affinity rmsd receptor ligand  (col 2=rmsd)
+            if len(fields) < 5:
+                continue
             rmsd = float(fields[2])
             if rmsd > args.rmsd_thr:
                 continue
-            rec_path = fields[3]
-            lig_path = fields[4]
-            # ligand entry like path/to/file.sdf.gz[:pose]
-            if "." in lig_path and lig_path.rsplit(".", 1)[-1].isdigit():
-                lig_gz, pose = lig_path.rsplit(".", 1)
-                pose = int(pose)
-            else:
-                lig_gz, pose = lig_path, 0
-            src = os.path.join(args.source, lig_gz)
-            if not os.path.exists(src):
+            protein_fn, ligand_fn = fields[3], fields[4]
+            pose = int(ligand_fn[ligand_fn.rfind("_") + 1 : ligand_fn.rfind(".")])
+            protein_pdb = protein_fn[: protein_fn.rfind("_")] + ".pdb"
+            ligand_gz = ligand_fn[: ligand_fn.rfind("_")] + ".sdf.gz"
+            protein_path = os.path.join(args.source, protein_pdb)
+            ligand_path = os.path.join(args.source, ligand_gz)
+            if not (os.path.exists(protein_path) and os.path.exists(ligand_path)):
                 continue
-            out_sdf = os.path.join(
-                args.dest, lig_gz.replace(".sdf.gz", f"_{pose}.sdf")
-            )
-            os.makedirs(os.path.dirname(out_sdf), exist_ok=True)
-            with gzip.open(src, "rt") as g:
+            with gzip.open(ligand_path, "rt") as g:
                 blocks = g.read().split("$$$$\n")
             if pose >= len(blocks):
                 continue
-            with open(out_sdf, "w") as o:
-                o.write(blocks[pose] + "$$$$\n")
-            rec_pdb = rec_path.replace("_0.gninatypes", ".pdb").replace(".gninatypes", ".pdb")
-            index.append((rec_pdb, os.path.relpath(out_sdf, args.dest), rmsd))
-            kept += 1
+            ligand_out_fn = ligand_fn[: ligand_fn.rfind(".")] + ".sdf"
+            protein_dest = os.path.join(args.dest, protein_pdb)
+            ligand_dest = os.path.join(args.dest, ligand_out_fn)
+            os.makedirs(os.path.dirname(protein_dest), exist_ok=True)
+            os.makedirs(os.path.dirname(ligand_dest), exist_ok=True)
+            if not os.path.exists(protein_dest):
+                shutil.copyfile(protein_path, protein_dest)
+            with open(ligand_dest, "w") as o:
+                o.write(blocks[pose])
+            index.append((protein_pdb, ligand_out_fn, rmsd))
     with open(os.path.join(args.dest, "index.pkl"), "wb") as f:
         pickle.dump(index, f)
-    print(f"kept {kept} poses -> {args.dest}/index.pkl")
+    print(f"kept {len(index)} poses -> {args.dest}/index.pkl")
 
 
 def _extract_one(task):

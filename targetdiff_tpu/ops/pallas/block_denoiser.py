@@ -115,6 +115,7 @@ def _block_kernel(
     T = N // TN
     TNK = TN * K
     dh = H // n_heads
+    UNROLL = 2
     lane = jax.lax.broadcasted_iota(jnp.int32, (H, n_heads), 0)
     headi = jax.lax.broadcasted_iota(jnp.int32, (H, n_heads), 1)
     S = (lane // dh == headi).astype(jnp.float32)  # [H, heads]
@@ -227,7 +228,7 @@ def _block_kernel(
             hbuf[dst, rows, :] = (out + h_tile.astype(jnp.float32)).astype(dtype)
             return 0
 
-        jax.lax.fori_loop(0, T, x2h_tile, 0, unroll=False)
+        jax.lax.fori_loop(0, T, x2h_tile, 0, unroll=UNROLL)
 
         def h2x_tile(ti, _):
             rows = pl.ds(ti * TN, TN)
@@ -254,7 +255,7 @@ def _block_kernel(
             xbuf[dst, rows, :] = xbuf[src, rows, :] + delta * mlig_ref[0, rows, :]
             return 0
 
-        jax.lax.fori_loop(0, T, h2x_tile, 0, unroll=False)
+        jax.lax.fori_loop(0, T, h2x_tile, 0, unroll=UNROLL)
         return 0
 
     jax.lax.fori_loop(0, L, layer_body, 0, unroll=False)

@@ -128,3 +128,25 @@ def outer_product(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     (reference: models/common.py:83-90)."""
     out = a[..., :, None] * b[..., None, :]
     return out.reshape(out.shape[:-2] + (a.shape[-1] * b.shape[-1],))
+
+
+def angle_expansion(angle: jnp.ndarray, start=1.0, stop=5.0, half_expansion=10) -> jnp.ndarray:
+    """Cosine angle basis (reference: models/common.py:29-38; unused in the
+    released main path but part of the ops inventory)."""
+    import numpy as np
+
+    l_mul = 1.0 / np.linspace(stop, start, half_expansion)
+    r_mul = np.linspace(start, stop, half_expansion)
+    coeff = jnp.asarray(np.concatenate([l_mul, r_mul]), jnp.float32)
+    return jnp.cos(angle[..., None] * coeff)
+
+
+def get_h_dist(dist_metric: str, hi: jnp.ndarray, hj: jnp.ndarray):
+    """Hidden-state distances (reference: models/common.py:93-101)."""
+    if dist_metric == "euclidean":
+        return ((hi - hj) ** 2).sum(-1, keepdims=True)
+    if dist_metric == "cos_sim":
+        hi_n = jnp.linalg.norm(hi, axis=-1, keepdims=True)
+        hj_n = jnp.linalg.norm(hj, axis=-1, keepdims=True)
+        return (hi * hj).sum(-1, keepdims=True) / (hi_n * hj_n), hj_n
+    raise ValueError(dist_metric)

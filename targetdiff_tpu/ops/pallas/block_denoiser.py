@@ -115,7 +115,7 @@ def _block_kernel(
     T = N // TN
     TNK = TN * K
     dh = H // n_heads
-    UNROLL = 2
+    UNROLL = 1  # Mosaic fori_loop supports only unroll=1 or full unroll (full crashes the compiler at this size)
     lane = jax.lax.broadcasted_iota(jnp.int32, (H, n_heads), 0)
     headi = jax.lax.broadcasted_iota(jnp.int32, (H, n_heads), 1)
     S = (lane // dh == headi).astype(jnp.float32)  # [H, heads]

@@ -18,7 +18,7 @@ When RDKit is importable these are bypassed in favor of the real thing
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Set
+from typing import Set
 
 import numpy as np
 
@@ -369,8 +369,6 @@ def obey_lipinski(mol: Molecule) -> int:
 
 def morgan_fingerprint(mol: Molecule, radius: int = 2, n_bits: int = 2048) -> Set[int]:
     """ECFP-style hashed circular fingerprint (bit set)."""
-    import zlib
-
     inv = []
     for i, a in enumerate(mol.atoms):
         inv.append(

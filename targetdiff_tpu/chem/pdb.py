@@ -9,7 +9,6 @@ Dependency-free counterpart of the reference's `PDBProtein`
 
 from __future__ import annotations
 
-import os
 from typing import Dict, List, Optional
 
 import numpy as np

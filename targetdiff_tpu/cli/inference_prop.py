@@ -13,7 +13,6 @@ from __future__ import annotations
 import argparse
 
 import jax
-import numpy as np
 
 from ..chem.pdb import PDBProtein
 from ..chem.sdf import parse_sdf_file, read_sdf, remove_hydrogens

@@ -23,7 +23,7 @@ import numpy as np
 from ..config import load_config
 from ..data.batch import ComplexBatch
 from ..data.datasets import get_dataset
-from ..data.transforms import Compose, FeaturizeLigandAtom, FeaturizeProteinAtom
+from ..data.transforms import Compose
 from ..utils.misc import get_logger, seed_all
 from .sample_diffusion import load_model_from_checkpoint
 

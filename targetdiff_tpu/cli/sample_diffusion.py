@@ -39,8 +39,6 @@ def load_model_from_checkpoint(ckpt_path, max_protein=384, max_ligand=64):
         max_protein=max_protein, max_ligand=max_ligand,
     )
     # unflatten params against a freshly-initialized template
-    import jax.numpy as jnp
-
     from ..data.batch import pad_complex
 
     dummy = pad_complex(

@@ -14,7 +14,6 @@ import argparse
 import os
 
 import jax
-import numpy as np
 
 from ..chem.pdb import PDBProtein
 from ..chem.reconstruct import MolReconsError, reconstruct_from_generated

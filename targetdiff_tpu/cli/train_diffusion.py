@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import Config, load_config
+from ..config import load_config
 from ..data.datasets import PaddedLoader, get_dataset, inf_iterator
 from ..data.transforms import (
     Compose,

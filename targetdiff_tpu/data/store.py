@@ -14,7 +14,7 @@ import mmap
 import os
 import pickle
 import struct
-from typing import Iterable, Iterator, Optional
+from typing import Optional
 
 MAGIC = b"TDB1"
 

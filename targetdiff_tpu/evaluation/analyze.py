@@ -14,10 +14,9 @@ from __future__ import annotations
 import gzip
 import json
 from importlib import resources as importlib_resources
-from typing import Dict, List, Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
-from scipy import spatial as sci_spatial
 
 from ..chem import periodic as PT
 

@@ -15,7 +15,6 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from ..chem.mol import Molecule
-from ..chem.sdf import write_sdf
 from .docking_vina import DockingUnavailable, PrepLig, PrepProt, _which
 
 

@@ -10,7 +10,7 @@ variant injecting diffusion-derived features at ligand/node/graph level).
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import flax.linen as nn
 import jax

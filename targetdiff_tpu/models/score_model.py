@@ -37,7 +37,7 @@ from ..ops.schedules import (
     make_categorical_schedule,
     make_gaussian_schedule,
 )
-from .common import MLP, TorchLinear, shifted_softplus
+from .common import TorchLinear, shifted_softplus
 from .egnn import EGNN
 from .uni_transformer import UniTransformerO2TwoUpdateGeneral
 

@@ -34,7 +34,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 def _pick_tile(N: int) -> int:
     """Largest center-tile size (multiple of 8) dividing N; bigger tiles

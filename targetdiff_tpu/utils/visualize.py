@@ -6,8 +6,6 @@ be rendered elsewhere."""
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 from ..chem.mol import Molecule
 from ..chem.sdf import write_sdf
 

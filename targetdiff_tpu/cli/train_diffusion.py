@@ -110,9 +110,18 @@ def main(argv=None):
         logger.info(f"resumed from {args.resume} at iter {start_iter}")
 
     mesh = None
-    if len(jax.devices()) > 1:
-        mesh = make_mesh(n_mp=args.n_mp)
-        logger.info(f"mesh: {mesh}")
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        import math
+
+        n_dp = math.gcd(config.train.batch_size, n_dev // args.n_mp)
+        if n_dp > 1:
+            mesh = make_mesh(n_dp=n_dp, n_mp=args.n_mp,
+                             devices=jax.devices()[: n_dp * args.n_mp])
+            logger.info(f"mesh: {mesh}")
+        else:
+            logger.info(f"batch {config.train.batch_size} not divisible across "
+                        f"{n_dev} devices; single-device training")
 
     train_step = make_train_step(model, optimizer, config.train.pos_noise_std, mesh=mesh)
     eval_step = make_eval_step(model)

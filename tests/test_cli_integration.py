@@ -1,0 +1,170 @@
+"""Full CLI integration: build a mini dataset, train for a few iterations via
+the real train CLI, then sample from the saved checkpoint via the real sample
+CLI — the complete reference workflow (train_diffusion.py ->
+sample_diffusion.py) on CPU."""
+
+import glob
+import os
+import pickle
+import shutil
+
+import numpy as np
+import pytest
+import yaml
+
+
+@pytest.fixture(scope="module")
+def mini_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mini")
+    raw = root / "raw"
+    raw.mkdir()
+    shutil.copyfile("examples/1h36_A_rec_1h36_r88_lig_tt_docked_0_pocket10.pdb",
+                    raw / "pocket.pdb")
+    shutil.copyfile("examples/3ug2_ligand.sdf", raw / "ligand.sdf")
+    index = [("pocket.pdb", "ligand.sdf", 0.5)] * 6
+    with open(raw / "index.pkl", "wb") as f:
+        pickle.dump(index, f)
+    import torch
+
+    split = str(root / "split.pt")
+    torch.save({"train": [0, 1, 2, 3], "test": [4, 5]}, split)
+    return str(raw), split, root
+
+
+def test_train_then_sample_cli(mini_dataset, tmp_path):
+    raw, split, root = mini_dataset
+    cfg = {
+        "data": {
+            "name": "pl", "path": raw, "split": split,
+            "transform": {"ligand_atom_mode": "add_aromatic", "random_rot": False},
+        },
+        "model": {
+            "model_mean_type": "C0", "beta_schedule": "sigmoid",
+            "beta_start": 1.0e-7, "beta_end": 2.0e-3, "v_beta_schedule": "cosine",
+            "v_beta_s": 0.01, "num_diffusion_timesteps": 12, "loss_v_weight": 100.0,
+            "sample_time_method": "symmetric", "time_emb_dim": 0,
+            "time_emb_mode": "simple", "center_pos_mode": "protein",
+            "node_indicator": True, "model_type": "uni_o2", "num_blocks": 1,
+            "num_layers": 1, "hidden_dim": 16, "n_heads": 2, "edge_feat_dim": 4,
+            "num_r_gaussian": 20, "knn": 6, "num_node_types": 8, "act_fn": "relu",
+            "norm": True, "cutoff_mode": "knn", "ew_net_type": "global",
+            "num_x2h": 1, "num_h2x": 1, "r_max": 10.0, "x2h_out_fc": False,
+            "sync_twoup": False,
+        },
+        "train": {
+            "seed": 1, "batch_size": 2, "num_workers": 0, "n_acc_batch": 1,
+            "max_iters": 4, "val_freq": 2, "pos_noise_std": 0.1,
+            "max_grad_norm": 8.0,
+            "optimizer": {"type": "adam", "lr": 1.0e-3, "weight_decay": 0,
+                          "beta1": 0.95, "beta2": 0.999},
+            "scheduler": {"type": "plateau", "factor": 0.6, "patience": 10,
+                          "min_lr": 1.0e-6},
+        },
+    }
+    cfg_path = str(tmp_path / "train.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from targetdiff_tpu.cli import train_diffusion
+
+    logdir = str(tmp_path / "logs")
+    train_diffusion.main([cfg_path, "--logdir", logdir,
+                          "--max_protein", "640", "--max_ligand", "40",
+                          "--train_report_iter", "1"])
+    ckpts = glob.glob(os.path.join(logdir, "*", "ckpt_*.npz"))
+    assert ckpts, "training produced no checkpoint"
+
+    sample_cfg = {
+        "model": {"checkpoint": ckpts[-1]},
+        "sample": {"seed": 7, "num_samples": 3, "num_steps": 6,
+                   "pos_only": False, "center_pos_mode": "protein",
+                   "sample_num_atoms": "prior"},
+    }
+    scfg_path = str(tmp_path / "sample.yml")
+    with open(scfg_path, "w") as f:
+        yaml.safe_dump(sample_cfg, f)
+
+    from targetdiff_tpu.cli import sample_diffusion
+
+    outdir = str(tmp_path / "outputs")
+    sample_diffusion.main([scfg_path, "-i", "0", "--result_path", outdir,
+                           "--batch_size", "3",
+                           "--max_protein", "640", "--max_ligand", "40"])
+    results = glob.glob(os.path.join(outdir, "result_*.pkl"))
+    assert results
+    with open(results[0], "rb") as f:
+        res = pickle.load(f)
+    assert len(res["pred_ligand_pos"]) == 3
+    for pos, v in zip(res["pred_ligand_pos"], res["pred_ligand_v"]):
+        assert np.isfinite(pos).all() and len(pos) == len(v)
+
+    # evaluate the results through the evaluation CLI machinery
+    from targetdiff_tpu.cli.evaluate_diffusion import evaluate_results
+
+    summary, _ = evaluate_results(results, "add_aromatic")
+    assert 0 <= summary["validity"]["mol_stable"] <= 1
+    assert summary["atom_type_jsd"] is not None
+
+    # likelihood + embedding export from the same checkpoint
+    from targetdiff_tpu.cli import likelihood_est_diffusion
+
+    likedir = str(tmp_path / "likelihood")
+    likelihood_est_diffusion.main([
+        scfg_path, "--split", "test", "--result_path", likedir,
+        "--t_stride", "4", "--max_protein", "640", "--max_ligand", "40",
+        "--limit", "1",
+    ])
+    with open(os.path.join(likedir, "crossdocked_test.pkl"), "rb") as f:
+        entries = pickle.load(f)
+    assert len(entries) == 1
+    e = entries[0]
+    assert np.isfinite(e["nll"])
+    assert e["final_ligand_h"].shape[0] == 31  # gefitinib heavy atoms
+    assert np.allclose(e["pred_ligand_v"].sum(-1), 1.0, atol=1e-4)
+
+
+def test_prop_pipeline(tmp_path):
+    """PDBBind-style prop training batchry end-to-end on synthetic labels."""
+    import jax
+    import numpy as np
+
+    from targetdiff_tpu.chem.pdb import PDBProtein
+    from targetdiff_tpu.chem.sdf import parse_sdf_file, read_sdf, remove_hydrogens
+    from targetdiff_tpu.data.transforms_prop import (
+        FeaturizeLigandAtomProp,
+        FeaturizeProteinAtom,
+        ligand_atom_feature_matrix,
+    )
+    from targetdiff_tpu.models.prop.prop_model import PropPredNet, prop_loss_fn
+    from targetdiff_tpu.utils.misc_prop import collate_prop, get_eval_scores
+
+    pocket = PDBProtein("examples/1h36_A_rec_1h36_r88_lig_tt_docked_0_pocket10.pdb").to_dict_atom()
+    ligand = parse_sdf_file("examples/3ug2_ligand.sdf")
+    mol = remove_hydrogens(read_sdf("examples/3ug2_ligand.sdf"))
+    data = {
+        "protein_element": pocket["element"],
+        "protein_pos": pocket["pos"],
+        "protein_is_backbone": pocket["is_backbone"],
+        "protein_atom_to_aa_type": pocket["atom_to_aa_type"],
+        "ligand_element": ligand["element"],
+        "ligand_pos": ligand["pos"],
+        "ligand_atom_feature": ligand_atom_feature_matrix(mol),
+        "y": 5.6,
+        "kind": 2,
+    }
+    data = FeaturizeProteinAtom()(data)
+    data = FeaturizeLigandAtomProp()(data)
+    assert data["ligand_atom_feature_full"].shape[-1] == 30
+
+    batch = collate_prop([data, data], max_protein=640, max_ligand=40)
+    cfg = dict(
+        hidden_channels=16,
+        encoder=dict(name="egnn", num_layers=1, hidden_dim=16, edge_dim=0,
+                     num_r_gaussian=8, act_fn="relu", norm=False, knn=8, cutoff=10.0),
+    )
+    model = PropPredNet(config=cfg, output_dim=3)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    loss, pred = prop_loss_fn(model, params, jax.random.PRNGKey(1), batch, 0.1)
+    assert np.isfinite(float(loss))
+    scores = get_eval_scores(np.asarray(pred) + 1e-3 * np.arange(2), np.asarray(batch.y))
+    assert np.isfinite(scores["rmse"])

@@ -172,18 +172,40 @@ def _kekulize_aromatic(mol: Molecule, aromatic_atoms: Sequence[int]) -> None:
                 if b.a1 in rs and b.a2 in rs:
                     b.aromatic = True
                     ring_bonds.append(b)
-    # greedy perfect-ish matching for kekulized orders (still flagged aromatic)
+    # kekulized orders via maximum matching (greedy fails on unlucky bond
+    # orderings, e.g. benzene picking two non-adjacent doubles and stranding
+    # two atoms); augmenting-path search covers paths and even cycles, which
+    # is what aromatic systems reduce to once lone-pair donors are excluded
     needs = {
         i
         for b in ring_bonds
         for i in (b.a1, b.a2)
         if mol.atoms[i].z == 6 and _free_valence_kekule(mol, i)
     }
+    adj = {i: [] for i in needs}
     for b in ring_bonds:
         if b.a1 in needs and b.a2 in needs:
+            adj[b.a1].append(b.a2)
+            adj[b.a2].append(b.a1)
+    match: dict = {}
+
+    def augment(u, visited):
+        for v in adj[u]:
+            if v in visited:
+                continue
+            visited.add(v)
+            if v not in match or augment(match[v], visited):
+                match[v] = u
+                match[u] = v
+                return True
+        return False
+
+    for u in sorted(needs):
+        if u not in match:
+            augment(u, {u})
+    for b in ring_bonds:
+        if match.get(b.a1) == b.a2:
             b.order = 2
-            needs.discard(b.a1)
-            needs.discard(b.a2)
 
 
 def _free_valence_kekule(mol: Molecule, i: int) -> bool:
@@ -242,5 +264,8 @@ def _sanity_check(mol: Molecule) -> None:
             raise MolReconsError(
                 f"atom {i} ({a.symbol}) hypervalent: valence {ev} > {max(states)}"
             )
-    if mol.num_atoms > 1 and not mol.bonds:
+    # fragmented outputs are allowed (the downstream completeness check
+    # rejects '.'-containing SMILES, reference evaluate_diffusion.py:100) —
+    # only a fully bond-less multi-atom cloud is hopeless
+    if mol.num_atoms > 2 and len(mol.bonds) == 0:
         raise MolReconsError("no bonds perceived")

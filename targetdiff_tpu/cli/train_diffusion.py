@@ -56,6 +56,8 @@ def main(argv=None):
     ap.add_argument("--max_ligand", type=int, default=64)
     ap.add_argument("--n_mp", type=int, default=1, help="tensor-parallel axis size")
     ap.add_argument("--train_report_iter", type=int, default=200)
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                    help="denoiser compute dtype (params stay f32)")
     args = ap.parse_args(argv)
 
     config = load_config(args.config)
@@ -86,9 +88,12 @@ def main(argv=None):
     )
     train_iter = inf_iterator(loader)
 
+    import jax.numpy as jnp
+
     model = DiffusionModel(
         config.model, protein_feat.feature_dim, ligand_feat.feature_dim,
         max_protein=args.max_protein, max_ligand=args.max_ligand,
+        dtype=jnp.bfloat16 if args.dtype == "bf16" else None,
     )
     opt_cfg = config.train.optimizer.merged({"max_grad_norm": config.train.max_grad_norm})
     optimizer = train_utils.get_optimizer(opt_cfg)

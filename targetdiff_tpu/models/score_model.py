@@ -330,7 +330,8 @@ class DiffusionModel:
         else:
             raise ValueError(self.model_mean_type)
         sq = ((pred - target) ** 2).sum(-1)  # [B, NL]
-        loss_pos = D.masked_mean(sq, lmask).mean()
+        loss_pos_graph = D.masked_mean(sq, lmask)  # [B]
+        loss_pos = loss_pos_graph.mean()
 
         # atom-type loss (reference :546-551)
         log_ligand_v_recon = jax.nn.log_softmax(pred_ligand_v, axis=-1)
@@ -348,6 +349,8 @@ class DiffusionModel:
             "loss_pos": loss_pos,
             "loss_v": loss_v,
             "loss": loss,
+            "loss_pos_graph": loss_pos_graph,
+            "loss_v_graph": kl_v,
             "x0": ligand_pos,
             "pred_ligand_pos": pred_ligand_pos,
             "pred_ligand_v": pred_ligand_v,

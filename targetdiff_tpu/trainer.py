@@ -26,23 +26,37 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    # per-timestep VLB statistics for importance time-sampling. The reference
+    # allocates these buffers but never updates them, so its 'importance' mode
+    # silently degrades to symmetric (molopt_score_model.py:269-270, :440-451);
+    # here they are maintained as an EMA so the mode is actually usable.
+    Lt_history: Any = None  # [T] float32
+    Lt_count: Any = None  # [T] float32
 
 
 def create_train_state(model: DiffusionModel, optimizer, key, example_batch) -> TrainState:
     params = model.init(key, example_batch)
     opt_state = optimizer.init(params)
-    return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+    T = model.num_timesteps
+    return TrainState(
+        params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32),
+        Lt_history=jnp.zeros((T,), jnp.float32), Lt_count=jnp.zeros((T,), jnp.float32),
+    )
 
 
-def make_train_step(model: DiffusionModel, optimizer, pos_noise_std: float = 0.0, mesh=None):
+def make_train_step(
+    model: DiffusionModel, optimizer, pos_noise_std: float = 0.0, mesh=None,
+    time_sampling: str = "symmetric",  # 'symmetric' | 'importance'
+):
     """Returns train_step(state, batch, key) -> (state, metrics), jitted.
 
     With a mesh, params/opt_state are replicated (or mp-sharded) and the batch
     is sharded over dp; XLA inserts the gradient psum over ICI.
     """
+    from .ops import diffusion as D
 
     def train_step(state: TrainState, batch: ComplexBatch, key):
-        key_noise, key_loss = jax.random.split(key)
+        key_noise, key_t, key_loss = jax.random.split(key, 3)
         if pos_noise_std > 0:
             noise = (
                 jax.random.normal(key_noise, batch.protein_pos.shape, batch.protein_pos.dtype)
@@ -51,20 +65,36 @@ def make_train_step(model: DiffusionModel, optimizer, pos_noise_std: float = 0.0
             noise = noise * batch.protein_mask[..., None].astype(noise.dtype)
             batch = batch._replace(protein_pos=batch.protein_pos + noise)
 
+        if time_sampling == "importance":
+            t, _pt = D.sample_time_importance(
+                key_t, batch.num_graphs, state.Lt_history, state.Lt_count
+            )
+        else:
+            t = None
+
         def loss_fn(params):
-            out = model.get_diffusion_loss(params, key_loss, batch)
+            out = model.get_diffusion_loss(params, key_loss, batch, time_step=t)
             return out["loss"], out
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+
+        # EMA update of per-timestep VLB stats
+        t_used = out["time_step"]
+        vlb_graph = out["loss_pos_graph"] + model.loss_v_weight * out["loss_v_graph"]
+        old = state.Lt_history[t_used]
+        new = jnp.where(state.Lt_count[t_used] > 0, 0.9 * old + 0.1 * vlb_graph, vlb_graph)
+        Lt_history = state.Lt_history.at[t_used].set(new)
+        Lt_count = state.Lt_count.at[t_used].add(1.0)
+
         metrics = {
             "loss": loss,
             "loss_pos": out["loss_pos"],
             "loss_v": out["loss_v"],
             "grad_norm": optax.global_norm(grads),
         }
-        return TrainState(params, opt_state, state.step + 1), metrics
+        return TrainState(params, opt_state, state.step + 1, Lt_history, Lt_count), metrics
 
     # Sharding strategy: the caller places state (replicated / mp-sharded via
     # parallel.mesh.param_shardings) and batch (dp-sharded via shard_batch)

@@ -111,3 +111,16 @@ def test_multichip_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_importance_time_sampling_training(setup):
+    """Lt stats accumulate and importance sampling trains stably."""
+    cfg, model, opt, batch, fresh_state = setup
+    state = fresh_state()
+    step = make_train_step(model, opt, pos_noise_std=0.0, time_sampling="importance")
+    key = jax.random.PRNGKey(0)
+    for i in range(5):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        assert np.isfinite(float(metrics["loss"]))
+    assert float(state.Lt_count.sum()) == pytest.approx(5 * batch.num_graphs)
+    assert float(state.Lt_history.max()) > 0

@@ -61,70 +61,82 @@ def _candidate_bonds(pos: np.ndarray, z: Sequence[int], tol: float = 0.45):
     return cands
 
 
-def _prune_hypervalent(n: int, z: Sequence[int], bonds: List[tuple]) -> List[tuple]:
-    """Drop the most-stretched bonds while any atom exceeds its max neighbor
-    count — keeping the graph connected when possible (the reference's
-    connect-the-dots pruning, reconstruct.py:143-183)."""
-    bonds = sorted(bonds, key=lambda b: b[3])  # most credible first
-    count = [0] * n
-    adopted = []
-    for (i, j, d, s) in bonds:
-        if count[i] < MAX_NEIGHBORS.get(int(z[i]), 4) and count[j] < MAX_NEIGHBORS.get(
-            int(z[j]), 4
-        ):
-            adopted.append((i, j, d, s))
-            count[i] += 1
-            count[j] += 1
-    return adopted
+def _reachable(adj: dict, a: int, b: int) -> bool:
+    """Is b reachable from a WITHOUT using the direct a-b edge?"""
+    seen = {a}
+    stack = [a]
+    while stack:
+        u = stack.pop()
+        for v in adj[u]:
+            if u == a and v == b:
+                continue
+            if v == b:
+                return True
+            if v not in seen:
+                seen.add(v)
+                stack.append(v)
+    return False
 
 
-def _ensure_connected(pos, z, bonds, max_extra_tol=1.2):
-    """If fragments remain, add the single shortest inter-fragment link that
-    respects valence, repeatedly (helps completeness like OB's behavior)."""
-    n = len(pos)
-    parent = list(range(n))
+def _prune_bonds(n: int, z: Sequence[int], bonds: List[tuple]) -> List[tuple]:
+    """Connectivity-aware pruning mirroring the reference's connect-the-dots
+    (reconstruct.py:104-185):
+      1. drop halogen-halogen bonds (both max-valence-1 atoms);
+      2. remove excessively stretched bonds (stretch > 1.2), most-stretched
+         first, unless removal would disconnect the molecule;
+      3. hypervalency repair: while an atom exceeds its max neighbor count,
+         remove its most-stretched bond with stretch >= 0.9 unless that
+         disconnects; as a last resort remove regardless of stretch.
+    """
+    maxb = {i: MAX_NEIGHBORS.get(int(z[i]), 4) for i in range(n)}
+    edges = {(i, j): (d, s) for (i, j, d, s) in bonds}
+    # 1. halogen-halogen
+    edges = {e: v for e, v in edges.items() if not (maxb[e[0]] == 1 and maxb[e[1]] == 1)}
 
-    def find(a):
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
+    def build_adj():
+        adj = {i: set() for i in range(n)}
+        for (i, j) in edges:
+            adj[i].add(j)
+            adj[j].add(i)
+        return adj
 
-    def union(a, b):
-        parent[find(a)] = find(b)
-
-    for (i, j, *_rest) in bonds:
-        union(i, j)
-    count = [0] * n
-    for (i, j, *_r) in bonds:
-        count[i] += 1
-        count[j] += 1
-
-    diff = pos[:, None, :] - pos[None, :, :]
-    dmat = np.sqrt((diff**2).sum(-1))
-    while True:
-        roots = {find(i) for i in range(n)}
-        if len(roots) <= 1:
+    # 2. stretched bonds, worst first
+    adj = build_adj()
+    for (i, j), (d, s) in sorted(edges.items(), key=lambda kv: -kv[1][1]):
+        if s <= 1.2:
             break
-        best = None
-        for i in range(n):
-            for j in range(i + 1, n):
-                if find(i) == find(j):
-                    continue
-                if count[i] >= MAX_NEIGHBORS.get(int(z[i]), 4):
-                    continue
-                if count[j] >= MAX_NEIGHBORS.get(int(z[j]), 4):
-                    continue
-                if best is None or dmat[i, j] < best[2]:
-                    best = (i, j, dmat[i, j])
-        if best is None or best[2] > max_extra_tol * 4.0:
-            break  # give up; molecule stays fragmented
-        i, j, d = best
-        bonds.append((i, j, d, 1.0))
-        union(i, j)
-        count[i] += 1
-        count[j] += 1
-    return bonds
+        if _reachable(adj, i, j):
+            del edges[(i, j)]
+            adj[i].discard(j)
+            adj[j].discard(i)
+
+    # 3. hypervalency repair, most-constrained atoms first
+    adj = build_adj()
+    order = sorted(range(n), key=lambda i: (maxb[i], -(len(adj[i]) - maxb[i])))
+    for a in order:
+        for relax in (False, True):
+            if len(adj[a]) <= maxb[a]:
+                break
+            abonds = sorted(
+                ((i, j) for (i, j) in edges if a in (i, j)),
+                key=lambda e: -edges[e][1],
+            )
+            for (i, j) in abonds:
+                if len(adj[a]) <= maxb[a]:
+                    break
+                if not relax and edges[(i, j)][1] < 0.9:
+                    continue  # too compressed to be a bogus bond
+                other = j if a == i else i
+                if len(adj[other]) > maxb[other] or len(adj[a]) > maxb[a]:
+                    if not _reachable(adj, i, j) and len(adj[a]) - 1 >= 1:
+                        # removal would fragment; only allow when hopeless
+                        if not relax:
+                            continue
+                    del edges[(i, j)]
+                    adj[i].discard(j)
+                    adj[j].discard(i)
+
+    return [(i, j, d, s) for (i, j), (d, s) in edges.items()]
 
 
 def _free_valence(mol: Molecule, i: int) -> int:
@@ -230,8 +242,7 @@ def reconstruct_from_generated(
             raise MolReconsError("empty molecule")
 
         cands = _candidate_bonds(pos, z)
-        bonds = _prune_hypervalent(n, z, cands)
-        bonds = _ensure_connected(pos, z, bonds)
+        bonds = _prune_bonds(n, z, cands)
 
         mol = Molecule()
         for i in range(n):

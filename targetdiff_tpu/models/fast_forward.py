@@ -203,7 +203,15 @@ def fast_forward(
         ]
 
     for _b in range(cfg.num_blocks):
-        nbh = G.knn_graph(x, node_mask, cfg.knn)
+        if mode == "mega":
+            # fused d2+top-k kernel: the [B,N,N] distance matrix never
+            # touches HBM (ops/pallas/knn.py)
+            from ..ops.pallas.knn import knn_graph_pallas
+
+            idx_, nmask_ = knn_graph_pallas(x, node_mask, k=cfg.knn, interpret=interpret)
+            nbh = G.Neighborhood(idx=idx_, mask=nmask_)
+        else:
+            nbh = G.knn_graph(x, node_mask, cfg.knn)
         src_lig = jnp.take_along_axis(
             jnp.broadcast_to(mask_ligand[:, None, :], nbh.idx.shape[:2] + (mask_ligand.shape[1],)),
             nbh.idx, axis=2,

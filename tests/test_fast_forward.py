@@ -103,3 +103,20 @@ def test_fast_forward_equivariance():
         np.asarray(out_r["pred_ligand_v"]) * lmask,
         np.asarray(out["pred_ligand_v"]) * lmask, atol=2e-3,
     )
+
+
+def test_knn_pallas_matches_xla():
+    from targetdiff_tpu.ops import graph as G
+    from targetdiff_tpu.ops.pallas.knn import knn_graph_pallas
+
+    rng = np.random.default_rng(0)
+    B, N, K = 3, 24, 5
+    pos = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32) * 3)
+    mask = jnp.asarray(rng.random((B, N)) > 0.2)
+    ref = G.knn_graph(pos, mask, K)
+    idx, nm = knn_graph_pallas(pos, mask, k=K, interpret=True)
+    ref_idx, ref_m = np.asarray(ref.idx), np.asarray(ref.mask)
+    got_idx, got_m = np.asarray(idx), np.asarray(nm)
+    for b in range(B):
+        for i in range(N):
+            assert set(got_idx[b, i][got_m[b, i]]) == set(ref_idx[b, i][ref_m[b, i]]), (b, i)

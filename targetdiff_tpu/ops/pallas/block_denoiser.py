@@ -98,9 +98,16 @@ class EwParams(NamedTuple):
 
 
 def _ln_relu(x, scale, bias, eps=1e-5):
+    """LayerNorm + relu with the mean/mean-square reductions done as one MXU
+    matmul against a ones-matrix (VPU reduction passes over [TNK, H] were a
+    measurable share of the kernel's elementwise budget)."""
     xf = x.astype(jnp.float32)
-    mean = xf.mean(-1, keepdims=True)
-    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    H = xf.shape[-1]
+    ones2 = jnp.ones((H, 8), jnp.float32) / H  # 8 lanes for tile alignment
+    x2 = xf * xf
+    mean = jnp.dot(xf, ones2, preferred_element_type=jnp.float32)[:, :1]
+    m2 = jnp.dot(x2, ones2, preferred_element_type=jnp.float32)[:, :1]
+    var = jnp.maximum(m2 - mean * mean, 0.0)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     return jnp.maximum(y * scale + bias, 0.0)
 
@@ -123,6 +130,11 @@ def _block_kernel(
 
     hbuf[0] = h_ref[0].astype(dtype)
     xbuf[0] = x_ref[0].astype(jnp.float32)
+
+    # center-segment sum as an MXU matmul: seg[n, e] = (e // K == n)
+    seg_row = jax.lax.broadcasted_iota(jnp.int32, (TN, TN * K), 0)
+    seg_col = jax.lax.broadcasted_iota(jnp.int32, (TN, TN * K), 1)
+    SEG = (seg_col // K == seg_row).astype(jnp.float32)  # [TN, TNK]
 
     def lift(v2):  # [TN, K] -> [TNK, 1]
         return jnp.broadcast_to(v2[:, :, None], (TN, K, 8)).reshape(TNK, 8)[:, :1]
@@ -224,7 +236,7 @@ def _block_kernel(
                          bp.hq_lnb[l], bp.hq_w2[l], bp.hq_b2[l])
             alpha = attention(k, q, nm1)
             alpha128 = jnp.dot(alpha, St, preferred_element_type=jnp.float32)
-            out = (alpha128 * v).reshape(TN, K, H).sum(axis=1)
+            out = jnp.dot(SEG, alpha128 * v, preferred_element_type=jnp.float32)
             hbuf[dst, rows, :] = (out + h_tile.astype(jnp.float32)).astype(dtype)
             return 0
 
@@ -251,7 +263,7 @@ def _block_kernel(
                          bp.xq_lnb[l], bp.xq_w2[l], bp.xq_b2[l])
             alpha = attention(k, q, nm1)
             s = (alpha * v16).sum(axis=-1, keepdims=True) / n_heads
-            delta = (s * rel).reshape(TN, K, 3).sum(axis=1)
+            delta = jnp.dot(SEG, s * rel, preferred_element_type=jnp.float32)
             xbuf[dst, rows, :] = xbuf[src, rows, :] + delta * mlig_ref[0, rows, :]
             return 0
 

@@ -60,16 +60,23 @@ def main():
             scan_chunk=100,
         )
 
-    # warmup/compile
+    # warmup/compile. NOTE: on the tunneled TPU, block_until_ready() returns
+    # before remote compute finishes — only an actual device->host fetch
+    # (np.asarray) observes completion, so every timed rep ends with one.
     res = fn(params, key, b, init_pos, init_v)
-    res.pos.block_until_ready()
+    np.asarray(res.pos)
 
-    t0 = time.time()
-    n_rep = 1
+    n_rep = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    times = []
     for i in range(n_rep):
+        t0 = time.time()
         res = fn(params, jax.random.fold_in(key, i), b, init_pos, init_v)
-        res.pos.block_until_ready()
-    dt = (time.time() - t0) / n_rep
+        np.asarray(res.pos)
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
+    spread = (max(times) - min(times)) / dt if n_rep > 1 else 0.0
+
+    train_sps = _bench_train(model, b)
 
     mol_per_sec = batch / dt
     n_chips = 1  # single-chip benchmark; sampling scales linearly over dp
@@ -81,9 +88,42 @@ def main():
                 "value": round(value, 4),
                 "unit": "molecules/sec/chip",
                 "vs_baseline": round(value / BASELINE_MOL_PER_SEC, 2),
+                "rep_spread": round(spread, 3),
+                "train_steps_per_sec": train_sps,
             }
         )
     )
+
+
+def _bench_train(model, b, n_steps: int = 20):
+    """Train-step throughput (batch 4, bf16, reference train config) as a
+    secondary metric; returns steps/sec or None if it fails."""
+    import jax
+    import jax.numpy as jnp
+
+    from targetdiff_tpu.config import Config
+    from targetdiff_tpu.trainer import create_train_state, make_train_step
+    from targetdiff_tpu.utils.train import get_optimizer
+
+    try:
+        tb = jax.tree_util.tree_map(lambda x: x[:4], b)
+        opt = get_optimizer(
+            Config(dict(type="adam", lr=5e-4, weight_decay=0, beta1=0.95,
+                        beta2=0.999, max_grad_norm=8.0))
+        )
+        state = create_train_state(model, opt, jax.random.PRNGKey(0), tb)
+        step_fn = make_train_step(model, opt, pos_noise_std=0.1)
+        key = jax.random.PRNGKey(2)
+        state, metrics = step_fn(state, tb, key)  # compile
+        np.asarray(metrics["loss"])
+        t0 = time.time()
+        for i in range(n_steps):
+            state, metrics = step_fn(state, tb, jax.random.fold_in(key, i))
+        np.asarray(metrics["loss"])
+        return round(n_steps / (time.time() - t0), 2)
+    except Exception as e:
+        sys.stderr.write(f"[bench] train bench skipped ({type(e).__name__}: {e})\n")
+        return None
 
 
 if __name__ == "__main__":

@@ -55,7 +55,7 @@ def main(argv=None):
     ap.add_argument("--split", default="test", choices=["train", "test"])
     ap.add_argument("--result_path", default="./likelihood")
     ap.add_argument("--t_stride", type=int, default=100)
-    ap.add_argument("--max_protein", type=int, default=384)
+    ap.add_argument("--max_protein", type=int, default=640)
     ap.add_argument("--max_ligand", type=int, default=64)
     ap.add_argument("--limit", type=int, default=0)
     args = ap.parse_args(argv)

@@ -57,7 +57,7 @@ def main(argv=None):
     ap.add_argument("--all", action="store_true", help="sample every test pocket")
     ap.add_argument("--result_path", default="./outputs")
     ap.add_argument("--batch_size", type=int, default=100)
-    ap.add_argument("--max_protein", type=int, default=384)
+    ap.add_argument("--max_protein", type=int, default=640)
     ap.add_argument("--max_ligand", type=int, default=64)
     ap.add_argument("--impl", default="xla", choices=["xla", "fast"])
     args = ap.parse_args(argv)

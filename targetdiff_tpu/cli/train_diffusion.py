@@ -52,7 +52,7 @@ def main(argv=None):
     ap.add_argument("--logdir", default="./logs_diffusion")
     ap.add_argument("--tag", default="")
     ap.add_argument("--resume", default=None)
-    ap.add_argument("--max_protein", type=int, default=384)
+    ap.add_argument("--max_protein", type=int, default=640)
     ap.add_argument("--max_ligand", type=int, default=64)
     ap.add_argument("--n_mp", type=int, default=1, help="tensor-parallel axis size")
     ap.add_argument("--train_report_iter", type=int, default=200)

@@ -251,7 +251,12 @@ def collate_padded(
 
 
 class PaddedLoader:
-    """Shuffling batch loader with filtering of oversize complexes."""
+    """Shuffling batch loader with filtering of oversize complexes.
+
+    Skips are COUNTED and logged once per epoch: the reference trains on all
+    complexes via ragged batching, so any oversize-filtering here silently
+    shifts losses/metrics unless surfaced. `skipped_oversize` /
+    `skipped_error` hold the last epoch's counts."""
 
     def __init__(
         self,
@@ -270,25 +275,40 @@ class PaddedLoader:
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        self.skipped_oversize = 0
+        self.skipped_error = 0
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self):
+        import logging
+
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
+        self.skipped_oversize = 0
+        self.skipped_error = 0
         batch = []
         for i in order:
             try:
                 s = self.dataset[int(i)]
-            except Exception:
+            except (KeyError, IndexError, ValueError, OSError) as e:
+                # corrupt record / failed transform: skip-and-count, like the
+                # reference's dataset preprocessing (reference:
+                # datasets/pl_pair_dataset.py:77-92 skip-and-log loop)
+                self.skipped_error += 1
+                if self.skipped_error <= 3:
+                    logging.getLogger(__name__).warning(
+                        "PaddedLoader: skipping item %d (%s: %s)", i, type(e).__name__, e
+                    )
                 continue
             if (
                 len(s["protein_pos"]) > self.max_protein
                 or len(s["ligand_pos"]) > self.max_ligand
             ):
+                self.skipped_oversize += 1
                 continue
             batch.append(s)
             if len(batch) == self.batch_size:
@@ -296,6 +316,16 @@ class PaddedLoader:
                 batch = []
         if batch and not self.drop_last:
             yield collate_padded(batch, self.max_protein, self.max_ligand)
+        n_skip = self.skipped_oversize + self.skipped_error
+        if n_skip:
+            frac = n_skip / max(len(self.dataset), 1)
+            logging.getLogger(__name__).warning(
+                "PaddedLoader epoch: skipped %d/%d items (%.1f%%): %d oversize "
+                "(> max_protein=%d or max_ligand=%d — raise --max_protein to "
+                "include them), %d errored",
+                n_skip, len(self.dataset), 100 * frac, self.skipped_oversize,
+                self.max_protein, self.max_ligand, self.skipped_error,
+            )
 
 
 def inf_iterator(loader):

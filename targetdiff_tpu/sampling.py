@@ -101,7 +101,12 @@ def sample_diffusion_ligand(
     ppos = np.asarray(pocket["protein_pos"], np.float32)
     pfeat = np.asarray(pocket["protein_feat"], np.float32)
     NP_ = len(ppos)
-    assert NP_ <= max_protein, (NP_, max_protein)
+    if NP_ > max_protein:
+        raise ValueError(
+            f"pocket has {NP_} atoms but max_protein={max_protein}; "
+            f"re-run with --max_protein >= {NP_} (rounded up to a multiple of 128 "
+            f"keeps TPU tiling efficient)"
+        )
 
     all_pos: List[np.ndarray] = []
     all_v: List[np.ndarray] = []

@@ -80,13 +80,22 @@ def make_train_step(
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
-        # EMA update of per-timestep VLB stats
+        # EMA update of per-timestep VLB stats. Duplicate timesteps within a
+        # batch (common with symmetric/antithetic sampling at small T) are
+        # reduced to a per-timestep mean BEFORE the EMA update, so the result
+        # is deterministic and every duplicate contributes — a bare
+        # .at[t].set() would keep one arbitrary graph's value.
         t_used = out["time_step"]
         vlb_graph = out["loss_pos_graph"] + model.loss_v_weight * out["loss_v_graph"]
-        old = state.Lt_history[t_used]
-        new = jnp.where(state.Lt_count[t_used] > 0, 0.9 * old + 0.1 * vlb_graph, vlb_graph)
-        Lt_history = state.Lt_history.at[t_used].set(new)
-        Lt_count = state.Lt_count.at[t_used].add(1.0)
+        T = state.Lt_history.shape[0]
+        sums = jnp.zeros((T,), vlb_graph.dtype).at[t_used].add(vlb_graph)
+        counts = jnp.zeros((T,), vlb_graph.dtype).at[t_used].add(1.0)
+        mean_vlb = sums / jnp.maximum(counts, 1.0)
+        ema = jnp.where(
+            state.Lt_count > 0, 0.9 * state.Lt_history + 0.1 * mean_vlb, mean_vlb
+        )
+        Lt_history = jnp.where(counts > 0, ema, state.Lt_history)
+        Lt_count = state.Lt_count + counts
 
         metrics = {
             "loss": loss,

@@ -124,3 +124,84 @@ def test_importance_time_sampling_training(setup):
         assert np.isfinite(float(metrics["loss"]))
     assert float(state.Lt_count.sum()) == pytest.approx(5 * batch.num_graphs)
     assert float(state.Lt_history.max()) > 0
+
+
+def test_lt_ema_duplicate_timesteps_deterministic(setup):
+    """Duplicate timesteps in a batch must update the EMA with their MEAN, not
+    an arbitrary single graph's value (reference semantics:
+    molopt_score_model.py:440-462 maintains per-t running stats)."""
+    cfg, model, opt, batch, fresh_state = setup
+    from targetdiff_tpu.ops import diffusion as D
+
+    # force every graph onto timestep 3 by patching the importance sampler
+    orig = D.sample_time_importance
+    T_FIXED = 3
+    try:
+        D.sample_time_importance = lambda key, n, hist, cnt: (
+            jnp.full((n,), T_FIXED, jnp.int32), jnp.ones((n,)) / max(n, 1)
+        )
+        state = fresh_state()
+        step = make_train_step(model, opt, pos_noise_std=0.0,
+                               time_sampling="importance")
+        key = jax.random.PRNGKey(7)
+        s1, _ = step(state, batch, key)
+    finally:
+        D.sample_time_importance = orig
+
+    # the EMA slot must hold the MEAN vlb over the duplicate graphs, computed
+    # independently here from the loss fn
+    out = model.get_diffusion_loss(
+        fresh_state().params, jax.random.split(key, 3)[2], batch,
+        time_step=jnp.full((batch.num_graphs,), T_FIXED, jnp.int32),
+    )
+    vlb = out["loss_pos_graph"] + model.loss_v_weight * out["loss_v_graph"]
+    assert float(s1.Lt_count[T_FIXED]) == pytest.approx(batch.num_graphs)
+    assert float(s1.Lt_count.sum()) == pytest.approx(batch.num_graphs)
+    np.testing.assert_allclose(
+        float(s1.Lt_history[T_FIXED]), float(vlb.mean()), rtol=1e-5
+    )
+
+
+def test_importance_sampling_under_mesh():
+    """Importance time sampling composes with dp x mp mesh sharding
+    (VERDICT weak #8): Lt stats must accumulate identically to the
+    single-device run."""
+    from targetdiff_tpu.parallel.mesh import make_mesh, param_shardings, shard_batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = model_config()
+    model = DiffusionModel(cfg, PROTEIN_DIM, NUM_CLASSES, max_protein=16, max_ligand=6)
+    opt = TU.get_optimizer(
+        Config(dict(type="adam", lr=3e-3, weight_decay=0, beta1=0.95, beta2=0.999,
+                    max_grad_norm=8.0))
+    )
+    batch = random_batch(B=8, np_valid=(14, 16) * 4, nl_valid=(5, 6) * 4)
+    key = jax.random.PRNGKey(0)
+
+    def run(mesh):
+        state = create_train_state(model, opt, jax.random.PRNGKey(0), batch)
+        b = batch
+        if mesh is not None:
+            state = state._replace(
+                params=jax.device_put(state.params, param_shardings(state.params, mesh)),
+                opt_state=jax.device_put(state.opt_state, NamedSharding(mesh, P())),
+                Lt_history=jax.device_put(state.Lt_history, NamedSharding(mesh, P())),
+                Lt_count=jax.device_put(state.Lt_count, NamedSharding(mesh, P())),
+            )
+            b = shard_batch(batch, mesh)
+        step = make_train_step(model, opt, pos_noise_std=0.0,
+                               time_sampling="importance", mesh=mesh)
+        for i in range(3):
+            state, metrics = step(state, b, jax.random.fold_in(key, i))
+        return state
+
+    s_single = run(None)
+    mesh = make_mesh(n_dp=4, n_mp=2)
+    s_mesh = run(mesh)
+    np.testing.assert_allclose(
+        np.asarray(s_single.Lt_count), np.asarray(s_mesh.Lt_count), atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_single.Lt_history), np.asarray(s_mesh.Lt_history),
+        rtol=2e-4, atol=1e-5,
+    )

@@ -1,0 +1,75 @@
+"""Megakernel microbenchmark: time ONE block_denoiser call on the real TPU.
+
+Usage: python tools/kbench.py [N_protein] [tile] [batch] [reps]
+
+Times the fused denoiser block alone (no sampler glue / kNN), with a true
+device fetch per rep (axon's block_until_ready returns early). One TPU
+process at a time — do not run concurrently with bench.py.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from targetdiff_tpu.models.fast_forward import extract_block_params
+    from targetdiff_tpu.ops.pallas.block_denoiser import block_denoiser
+    from targetdiff_tpu.ops.rbf import gaussian_smearing_offsets
+    from __graft_entry__ import _flagship
+
+    NPRO = int(sys.argv[1]) if len(sys.argv) > 1 else 384
+    tile = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    B = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+    NL = 32
+    N = NPRO + NL
+    K, H, L, heads = 32, 128, 9, 16
+
+    model, b = _flagship(num_timesteps=1000, max_protein=NPRO, max_ligand=NL, batch=2)
+    params = model.init(jax.random.PRNGKey(0), b)
+    rp = params["params"]["refine_net"]
+    ew_p, block_p = extract_block_params(rp, L, H, 20, dtype=jnp.bfloat16)
+    offsets, coeff = gaussian_smearing_offsets(0.0, 10.0, 20)
+
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(size=(B, N, H)).astype(np.float32)).astype(jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32) * 4)
+    idx = jnp.asarray(rng.integers(0, N, (B, N, K)).astype(np.int32))
+    nmask = jnp.asarray(rng.random((B, N, K)) > 0.1)
+    etype = jnp.asarray(rng.integers(0, 4, (B, N, K)).astype(np.int32))
+    mlig = jnp.asarray(np.arange(N)[None, :] >= NPRO).astype(jnp.bool_)
+    mlig = jnp.broadcast_to(mlig, (B, N))
+
+    def run():
+        return block_denoiser(
+            h, x, idx, nmask, etype, mlig, offsets, ew_p, block_p,
+            num_layers=L, n_heads=heads, coeff=coeff, dtype=jnp.bfloat16,
+            tile=tile,
+        )
+
+    t0 = time.time()
+    ho, xo = run()
+    np.asarray(xo)
+    print(f"compile+first: {time.time()-t0:.1f}s  (N={N} tile={tile} B={B})")
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        ho, xo = run()
+        np.asarray(xo)
+        times.append(time.time() - t0)
+    med = float(np.median(times))
+    print(f"block_denoiser: {med*1e3:.2f} ms/call  ({med/B*1e6:.1f} us/complex)  "
+          f"min={min(times)*1e3:.2f} max={max(times)*1e3:.2f}")
+
+
+if __name__ == "__main__":
+    main()

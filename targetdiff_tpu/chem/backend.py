@@ -52,19 +52,19 @@ def qed(mol: Molecule) -> float:
 
 
 def sa_score(mol: Molecule) -> Optional[float]:
+    """Ertl & Schuffenhauer SA. With RDKit: the exact scorer over the
+    VENDORED fragment table (identical to the reference's
+    utils/evaluation/sascorer.py + fpscores.pkl.gz); without: the native
+    estimate (exact feature/scaling pipeline, surrogate fragment term)."""
     if HAVE_RDKIT:
         try:
-            from rdkit.Chem import RDConfig
-            import os, sys
-
-            sys.path.append(os.path.join(RDConfig.RDContribDir, "SA_Score"))
-            import sascorer  # type: ignore
+            from .sascorer import calculate_sa
 
             rd = to_rdkit(mol)
             if rd is not None:
-                return float(sascorer.calculateScore(rd))
+                return float(calculate_sa(rd))
         except Exception:
             pass
-    from .descriptors import sa_score as native_sa
+    from .sascorer import sa_score_native
 
-    return native_sa(mol)
+    return sa_score_native(mol)

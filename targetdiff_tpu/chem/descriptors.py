@@ -291,37 +291,12 @@ def qed(mol: Molecule) -> float:
 
 
 def sa_score(mol: Molecule) -> float:
-    """1 (easy) .. 10 (hard). Reproduces the complexity-penalty half of the
-    Ertl score exactly; the fragment-frequency term is approximated by an
-    element/environment commonness heuristic."""
-    n = mol.num_atoms
-    if n == 0:
-        return 10.0
-    # fragment-commonness surrogate: uncommon elements and quaternary centers
-    frag = 0.0
-    for i, a in enumerate(mol.atoms):
-        common = a.z in (6, 7, 8)
-        frag += 0.2 if common else -0.7
-        heavy_deg = sum(1 for j in mol.neighbors(i) if mol.atoms[j].z != 1)
-        if a.z == 6 and heavy_deg == 4:
-            frag -= 0.7
-    frag /= n
+    """1 (easy) .. 10 (hard). Exact Ertl feature/symmetry/scaling pipeline
+    with a surrogate fragment term (chem/sascorer.py); when RDKit is present
+    chem.backend.sa_score uses the exact scorer over the vendored table."""
+    from .sascorer import sa_score_native
 
-    ring_info = mol.rings()
-    n_macro = sum(1 for r in ring_info if len(r) > 8)
-    n_bridge, n_spiro = _bridge_spiro(mol)
-    size_penalty = n**1.005 - n
-    ring_complexity = math.log10(n_bridge + 1) + math.log10(n_spiro + 1)
-    macro_penalty = math.log10(2) if n_macro > 0 else 0.0
-    # stereo centers are not perceived (no 3D chirality assignment): omit,
-    # matching how generated molecules are usually scored pre-embedding.
-    score1 = -frag * 2.5  # scale surrogate into the fragment-score range
-    score2 = size_penalty * 0.005 + ring_complexity + macro_penalty
-    raw = 3.0 + score1 + score2
-    # large-molecule correction (Ertl)
-    if n > 40:
-        raw += math.log(n / 40.0)
-    return float(min(max(raw, 1.0), 10.0))
+    return sa_score_native(mol)
 
 
 def _bridge_spiro(mol: Molecule):

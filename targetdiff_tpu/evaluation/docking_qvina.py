@@ -47,8 +47,19 @@ class QVinaDockingTask(BaseDockingTask):
         tmp_dir: Optional[str] = None,
         center: Optional[np.ndarray] = None,
         size_factor: float = 1.0,
+        use_uff: bool = True,
     ):
         super().__init__(None, mol)
+        if use_uff:
+            # UFF pre-optimization, matching the reference protocol
+            # (docking_qvina.py:117-119): relax generated geometry before
+            # PDBQT conversion so scores are comparable.
+            from ..chem.uff import relax_for_docking
+
+            try:
+                mol = relax_for_docking(mol, use_uff=True)
+            except Exception:
+                pass
         self.mol = mol
         self.protein_path = protein_path
         self.tmp_dir = tmp_dir or tempfile.mkdtemp(prefix="qvina_")

@@ -146,60 +146,17 @@ def tpsa(mol: Molecule) -> float:
 
 
 # ---------------------------------------------------------------------------
-# logP — simplified Wildman-Crippen
+# logP — full Wildman-Crippen (chem/crippen.py)
 # ---------------------------------------------------------------------------
-
-_CRIPPEN_C = {
-    "aromatic": 0.1581,  # aromatic carbon average
-    "sp3_plain": 0.1441,  # aliphatic C bonded to C/H only
-    "sp3_hetero": -0.2035,
-    "sp2_plain": 0.1551 - 0.07,
-    "sp2_hetero": -0.2783,
-}
 
 
 def logp(mol: Molecule) -> float:
-    """Crippen-style additive logP with condensed atom classes (average
-    Wildman-Crippen contributions per class). Within ~0.5-1 log unit of RDKit
-    on drug-like molecules."""
-    total = 0.0
-    for i, a in enumerate(mol.atoms):
-        nH = mol.implicit_h(i) + a.explicit_h
-        hetero_nbr = any(mol.atoms[j].z not in (1, 6) for j in mol.neighbors(i))
-        if a.z == 6:
-            if a.aromatic:
-                total += 0.294 if not hetero_nbr else 0.1581
-            else:
-                has_double = any(b.order >= 2 for b in mol.bonds_of(i))
-                if has_double:
-                    total += _CRIPPEN_C["sp2_hetero"] if hetero_nbr else 0.08
-                else:
-                    total += _CRIPPEN_C["sp3_hetero"] if hetero_nbr else _CRIPPEN_C["sp3_plain"]
-            total += 0.1230 * nH  # hydrogen on carbon
-        elif a.z == 7:
-            total += -1.0190 if not a.aromatic else -0.3239
-            total += -0.2 * nH + (0.5 if a.formal_charge > 0 else 0)
-        elif a.z == 8:
-            if a.aromatic:
-                total += 0.1552
-            elif any(b.order == 2 for b in mol.bonds_of(i)):
-                total += -0.1526
-            else:
-                total += -0.2893
-            total += -0.3 * nH
-        elif a.z == 9:
-            total += 0.4202
-        elif a.z == 17:
-            total += 0.6895
-        elif a.z == 35:
-            total += 0.8456
-        elif a.z == 53:
-            total += 0.8857
-        elif a.z == 16:
-            total += 0.6482
-        elif a.z == 15:
-            total += 0.8612
-    return total
+    """Wildman-Crippen logP with full 68-class atom typing (chem/crippen.py);
+    exact parity with RDKit MolLogP on typed molecules (tests/test_crippen.py).
+    Reference: utils/evaluation/scoring_func.py get_logp."""
+    from .crippen import crippen_logp
+
+    return crippen_logp(mol)
 
 
 # ---------------------------------------------------------------------------

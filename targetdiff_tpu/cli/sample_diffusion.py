@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import os
 import pickle
+import time
 
 import jax
 import numpy as np
@@ -60,6 +61,13 @@ def main(argv=None):
     ap.add_argument("--max_protein", type=int, default=640)
     ap.add_argument("--max_ligand", type=int, default=64)
     ap.add_argument("--impl", default="xla", choices=["xla", "fast"])
+    ap.add_argument(
+        "--sharded", action="store_true",
+        help="with --all: sample every pocket through the mesh-dp sharded, "
+        "HBM-chunked path (replaces scripts/batch_sample_diffusion.sh)",
+    )
+    ap.add_argument("--chunk_rows", type=int, default=100,
+                    help="max pocket x sample rows in flight (HBM bound)")
     args = ap.parse_args(argv)
 
     config = load_config(args.config)
@@ -75,6 +83,47 @@ def main(argv=None):
     _, subsets = get_dataset(train_config.data, transform=transform)
     test_set = subsets["test"]
     ids = range(len(test_set)) if args.all else [args.data_id]
+
+    if args.sharded:
+        from ..sampling import sample_testset_sharded
+
+        datas = [test_set[i] for i in ids]
+        pockets = [
+            {"protein_pos": d["protein_pos"], "protein_feat": d["protein_atom_feature"]}
+            for d in datas
+        ]
+        t0 = time.time()
+        results = sample_testset_sharded(
+            model, params, pockets,
+            num_samples_per_pocket=config.sample.num_samples,
+            key=jax.random.PRNGKey(config.sample.seed),
+            num_steps=config.sample.num_steps,
+            sample_num_atoms=config.sample.get("sample_num_atoms", "prior"),
+            max_protein=args.max_protein,
+            max_ligand=args.max_ligand,
+            chunk_rows=args.chunk_rows,
+        )
+        elapsed = time.time() - t0
+        for data_id, data, pocket, result in zip(ids, datas, pockets, results):
+            out = {
+                "data": {k: np.asarray(v) for k, v in pocket.items()}
+                | {
+                    "protein_filename": data.get("protein_filename"),
+                    "ligand_filename": data.get("ligand_filename"),
+                },
+                "pred_ligand_pos": result["pos"],
+                "pred_ligand_v": result["v"],
+                "time": [elapsed / max(len(ids), 1)],
+                "ligand_atom_mode": train_config.data.transform.ligand_atom_mode,
+            }
+            out_path = os.path.join(args.result_path, f"result_{data_id}.pkl")
+            with open(out_path, "wb") as f:
+                pickle.dump(out, f)
+        logger.info(
+            f"sharded: {len(ids)} pockets x {config.sample.num_samples} samples "
+            f"in {elapsed:.1f}s (chunk_rows={args.chunk_rows})"
+        )
+        return
 
     for data_id in ids:
         data = test_set[data_id]

@@ -200,13 +200,20 @@ def sample_testset_sharded(
     max_protein: Optional[int] = None,
     max_ligand: Optional[int] = None,
     rng: Optional[np.random.Generator] = None,
+    chunk_rows: Optional[int] = None,
 ) -> List[Dict[str, Any]]:
     """Multi-pocket sampling with rows sharded over the mesh "dp" axis — the
     mesh-native replacement for the reference's shell-script GPU sharding
     (reference: scripts/batch_sample_diffusion.sh:15-21, which forks one
-    process per GPU and splits pockets by index modulo). Here all
-    pocket x sample rows form one batch whose leading axis is dp-sharded;
-    sampling needs no collectives, so throughput scales linearly with chips.
+    process per GPU and splits pockets by index modulo).
+
+    Pocket x sample rows are processed in HBM-bounded chunks of `chunk_rows`
+    (default 100, rounded to a dp multiple): each pocket is uploaded to the
+    device bank once, chunk batches are gathered on device from that bank,
+    and the chunk's leading axis is dp-sharded. Sampling needs no
+    collectives, so throughput scales linearly with chips, and peak memory
+    is chunk_rows x max_protein activations regardless of the test-set size
+    (100 pockets x 100 samples runs in 100-row slices).
 
     Returns one result dict per pocket ({'pos': [...], 'v': [...]}).
     """
@@ -222,49 +229,77 @@ def sample_testset_sharded(
     P = len(pockets)
     S = num_samples_per_pocket
     rows = P * S
-    pad_rows = (-rows) % n_dp
 
+    # ---- pocket bank: each pocket uploaded ONCE, [P, NPpad, *] on device ----
     fp = pockets[0]["protein_feat"].shape[-1]
-    ppos = np.zeros((rows + pad_rows, max_protein, 3), np.float32)
-    pfeat = np.zeros((rows + pad_rows, max_protein, fp), np.float32)
-    pmask = np.zeros((rows + pad_rows, max_protein), bool)
-    lmask = np.zeros((rows + pad_rows, max_ligand), bool)
-    sizes = np.ones((rows + pad_rows,), np.int32)
+    np_max = max(len(p["protein_pos"]) for p in pockets)
+    if np_max > max_protein:
+        raise ValueError(
+            f"largest pocket has {np_max} atoms but max_protein={max_protein}"
+        )
+    NPpad = min(max_protein, -(-np_max // 64) * 64)
+    bank_pos = np.zeros((P, NPpad, 3), np.float32)
+    bank_feat = np.zeros((P, NPpad, fp), np.float32)
+    bank_len = np.zeros((P,), np.int32)
+    row_sizes = np.ones((rows,), np.int32)
     for pi, pocket in enumerate(pockets):
         pp = np.asarray(pocket["protein_pos"], np.float32)
-        pf = np.asarray(pocket["protein_feat"], np.float32)
-        n = len(pp)
-        sz = sample_ligand_sizes(pp, S, sample_num_atoms, max_ligand=max_ligand, rng=rng)
-        for si in range(S):
-            r = pi * S + si
-            ppos[r, :n] = pp
-            pfeat[r, :n] = pf
-            pmask[r, :n] = True
-            lmask[r, : sz[si]] = True
-            sizes[r] = sz[si]
+        bank_pos[pi, : len(pp)] = pp
+        bank_feat[pi, : len(pp)] = np.asarray(pocket["protein_feat"], np.float32)
+        bank_len[pi] = len(pp)
+        row_sizes[pi * S : (pi + 1) * S] = sample_ligand_sizes(
+            pp, S, sample_num_atoms, max_ligand=max_ligand, rng=rng
+        )
+    row_pocket = np.repeat(np.arange(P, dtype=np.int32), S)
+    bank_pos_d = jnp.asarray(bank_pos)
+    bank_feat_d = jnp.asarray(bank_feat)
+    bank_len_d = jnp.asarray(bank_len)
 
-    batch = ComplexBatch(
-        jnp.asarray(ppos), jnp.asarray(pfeat), jnp.asarray(pmask),
-        jnp.zeros((rows + pad_rows, max_ligand, 3), jnp.float32),
-        jnp.zeros((rows + pad_rows, max_ligand), jnp.int32),
-        jnp.asarray(lmask),
-    )
-    if mesh is not None:
-        batch = shard_batch(batch, mesh)
+    # ---- HBM-bounded chunking: at most `chunk_rows` complexes in flight ----
+    if chunk_rows is None:
+        chunk_rows = 100
+    chunk_rows = max(n_dp, (chunk_rows // n_dp) * n_dp)
 
-    key, k_init, k_samp = jax.random.split(key, 3)
-    init_pos, init_v = init_ligand_state(k_init, batch, model.num_classes)
-    res = model.sample_diffusion(params, k_samp, batch, init_pos, init_v, num_steps=num_steps)
+    pos_out: List[Optional[np.ndarray]] = [None] * rows
+    v_out: List[Optional[np.ndarray]] = [None] * rows
+    for start in range(0, rows, chunk_rows):
+        idx = np.arange(start, min(start + chunk_rows, rows))
+        pad = (-len(idx)) % n_dp
+        ids = np.concatenate([row_pocket[idx], np.zeros(pad, np.int32)])
+        szs = np.concatenate([row_sizes[idx], np.ones(pad, np.int32)])
+        C = len(ids)
+        ids_d = jnp.asarray(ids)
+        # device-side gather from the bank — the pocket is never replicated
+        # on the host (reference's shell sharding re-reads it per process)
+        batch = ComplexBatch(
+            protein_pos=jnp.take(bank_pos_d, ids_d, axis=0),
+            protein_feat=jnp.take(bank_feat_d, ids_d, axis=0),
+            protein_mask=jnp.arange(NPpad)[None, :] < bank_len_d[ids_d][:, None],
+            ligand_pos=jnp.zeros((C, max_ligand, 3), jnp.float32),
+            ligand_v=jnp.zeros((C, max_ligand), jnp.int32),
+            ligand_mask=jnp.asarray(np.arange(max_ligand)[None, :] < szs[:, None]),
+        )
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
 
-    pos_np = np.asarray(res.pos, np.float64)
-    v_np = np.asarray(res.v)
+        key, k_init, k_samp = jax.random.split(key, 3)
+        init_pos, init_v = init_ligand_state(k_init, batch, model.num_classes)
+        res = model.sample_diffusion(
+            params, k_samp, batch, init_pos, init_v, num_steps=num_steps
+        )
+        pos_np = np.asarray(res.pos, np.float64)
+        v_np = np.asarray(res.v)
+        for ci, r in enumerate(idx):
+            s = int(row_sizes[r])
+            pos_out[r] = pos_np[ci, :s]
+            v_out[r] = v_np[ci, :s]
+
     out = []
     for pi in range(P):
         entry = {"pos": [], "v": []}
         for si in range(S):
             r = pi * S + si
-            s = int(sizes[r])
-            entry["pos"].append(pos_np[r, :s])
-            entry["v"].append(v_np[r, :s])
+            entry["pos"].append(pos_out[r])
+            entry["v"].append(v_out[r])
         out.append(entry)
     return out

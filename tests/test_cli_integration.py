@@ -122,6 +122,21 @@ def test_train_then_sample_cli(mini_dataset, tmp_path):
     assert e["final_ligand_h"].shape[0] == 31  # gefitinib heavy atoms
     assert np.allclose(e["pred_ligand_v"].sum(-1), 1.0, atol=1e-4)
 
+    # whole-test-set sampling via the mesh-sharded HBM-chunked path
+    # (replaces the reference's batch_sample_diffusion.sh)
+    sharddir = str(tmp_path / "sharded")
+    sample_diffusion.main([scfg_path, "--all", "--sharded",
+                           "--chunk_rows", "8", "--result_path", sharddir,
+                           "--max_protein", "640", "--max_ligand", "40"])
+    shard_results = sorted(glob.glob(os.path.join(sharddir, "result_*.pkl")))
+    assert len(shard_results) == 2  # both test pockets
+    for rp in shard_results:
+        with open(rp, "rb") as f:
+            res = pickle.load(f)
+        assert len(res["pred_ligand_pos"]) == 3
+        for pos, v in zip(res["pred_ligand_pos"], res["pred_ligand_v"]):
+            assert np.isfinite(pos).all() and len(pos) == len(v) >= 1
+
 
 def test_prop_pipeline(tmp_path):
     """PDBBind-style prop training batchry end-to-end on synthetic labels."""

@@ -46,3 +46,37 @@ def test_sharded_testset_sampling():
             assert np.isfinite(pos).all()
             com = pockets[pi]["protein_pos"].mean(0)
             assert np.linalg.norm(np.asarray(pos).mean(0) - com) < 100
+
+
+def test_sharded_testset_chunked_full_scale():
+    """Driver-scale workload shape (100 pockets x 100 samples) through the
+    HBM-bounded chunked path: peak in-flight rows = chunk_rows, pockets
+    uploaded once to the device bank (VERDICT round-1 item 4)."""
+    assert len(jax.devices()) == 8
+    cfg = model_config(num_diffusion_timesteps=2)
+    model = DiffusionModel(cfg, 27, 13, max_protein=32, max_ligand=8)
+
+    from targetdiff_tpu.data.batch import pad_complex
+
+    dummy = pad_complex(
+        np.zeros((8, 3), np.float32), np.zeros((8, 27), np.float32),
+        np.zeros((2, 3), np.float32), np.zeros((2,), np.int32), 8, 8,
+    )
+    params = model.init(jax.random.PRNGKey(0), dummy)
+
+    pockets = [make_pocket(i, n=16 + (i % 3) * 4) for i in range(100)]
+    mesh = make_mesh(n_dp=8, n_mp=1)
+    results = sample_testset_sharded(
+        model, params, pockets, num_samples_per_pocket=100,
+        key=jax.random.PRNGKey(1), mesh=mesh, num_steps=2,
+        max_protein=32, max_ligand=8, chunk_rows=512,
+    )
+    assert len(results) == 100
+    total = 0
+    for pi, r in enumerate(results):
+        assert len(r["pos"]) == 100 and len(r["v"]) == 100
+        for pos, v in zip(r["pos"], r["v"]):
+            assert pos is not None and len(pos) == len(v) >= 1
+            assert np.isfinite(np.asarray(pos)).all()
+            total += 1
+    assert total == 10000

@@ -58,6 +58,8 @@ def main(argv=None):
     ap.add_argument("--max_protein", type=int, default=640)
     ap.add_argument("--max_ligand", type=int, default=64)
     ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--impl", default="xla", choices=["xla", "fast"],
+                    help="fast: fused megakernel with frozen coordinates")
     args = ap.parse_args(argv)
 
     config = load_config(args.config)
@@ -93,7 +95,7 @@ def main(argv=None):
             continue
         key = jax.random.PRNGKey(config.sample.seed + i)
         nll, kl_pos, kl_v = data_likelihood_estimation(model, params, one, key, time_steps)
-        emb = model.fetch_embedding(params, one)
+        emb = model.fetch_embedding(params, one, impl=args.impl)
         nl = int(np.asarray(one.ligand_mask).sum())
         out.append({
             "ligand_filename": d.get("ligand_filename"),

@@ -156,9 +156,15 @@ def fast_forward(
     dtype=jnp.bfloat16,
     interpret: bool = False,
     mode: str = "mega",  # 'mega' (one kernel per block) | 'layers'
+    fix_x: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Equivalent of ScorePosNet.__call__ (models/score_model.py) on the
-    fused kernels. Returns {pred_ligand_pos, pred_ligand_v, final_ligand_h}."""
+    fused kernels. Returns {pred_ligand_pos, pred_ligand_v, final_ligand_h}.
+
+    fix_x=True freezes coordinates (fetch_embedding / likelihood export,
+    reference: molopt_score_model.py:619-631): the kernel's x-update is
+    gated by the ligand mask, so the SAME compiled megakernel runs with a
+    zeroed update mask while edge types keep the true protein/ligand split."""
     cfg = config
     assert cfg.model_type == "uni_o2"
     assert cfg.cutoff_mode == "knn" and cfg.ew_net_type == "global"
@@ -222,9 +228,10 @@ def fast_forward(
                                             jnp.where(~src_lig & dst_lig, 2, 3))
         ).astype(jnp.int32)
 
+        upd_mask = jnp.zeros_like(mask_ligand) if fix_x else mask_ligand
         if mode == "mega":
             h, x = block_denoiser(
-                h, x, nbh.idx, nbh.mask, etype, mask_ligand, offsets,
+                h, x, nbh.idx, nbh.mask, etype, upd_mask, offsets,
                 ew_p, block_p, num_layers=cfg.num_layers, n_heads=cfg.n_heads,
                 coeff=coeff, dtype=dtype, interpret=interpret,
             )
@@ -242,7 +249,7 @@ def fast_forward(
                 n_heads=cfg.n_heads, coeff=coeff, dtype=dtype, interpret=interpret,
             )
             x = h2x_attention_layer(
-                h, x, nbh.idx, nbh.mask, etype, e_w, mask_ligand, offsets, ph,
+                h, x, nbh.idx, nbh.mask, etype, e_w, upd_mask, offsets, ph,
                 n_heads=cfg.n_heads, coeff=coeff, dtype=dtype, interpret=interpret,
             )
 

@@ -277,7 +277,7 @@ class DiffusionModel:
 
     def fast_apply(
         self, params, batch: ComplexBatch, ligand_pos, ligand_v, time_step=None,
-        dtype=jnp.bfloat16, interpret=None, mode="mega",
+        dtype=jnp.bfloat16, interpret=None, mode="mega", fix_x=False,
     ):
         """Fused Pallas-kernel forward (inference path); same params as
         `apply`. Falls back to interpret mode off-TPU."""
@@ -288,6 +288,7 @@ class DiffusionModel:
         return fast_forward(
             self.config, params, batch, ligand_pos, ligand_v, self.num_classes,
             time_step=time_step, dtype=dtype, interpret=interpret, mode=mode,
+            fix_x=fix_x,
         )
 
     # -- training loss ------------------------------------------------------
@@ -412,9 +413,14 @@ class DiffusionModel:
         kl_v = jnp.where(is_prior, kl_v_p, kl_v_s)
         return kl_pos, kl_v
 
-    def fetch_embedding(self, params, batch: ComplexBatch):
+    def fetch_embedding(self, params, batch: ComplexBatch, impl: str = "xla"):
         """Hidden states with frozen coordinates
-        (reference: models/molopt_score_model.py:619-631)."""
+        (reference: models/molopt_score_model.py:619-631). impl='fast' runs
+        the fused megakernel with the x-update masked off."""
+        if impl == "fast":
+            return self.fast_apply(
+                params, batch, batch.ligand_pos, batch.ligand_v, None, fix_x=True
+            )
         return self.apply(
             params, batch, batch.ligand_pos, batch.ligand_v, None, fix_x=True
         )

@@ -120,3 +120,29 @@ def test_knn_pallas_matches_xla():
     for b in range(B):
         for i in range(N):
             assert set(got_idx[b, i][got_m[b, i]]) == set(ref_idx[b, i][ref_m[b, i]]), (b, i)
+
+
+@pytest.mark.parametrize("mode", ["layers", "mega"])
+def test_fetch_embedding_fast_matches_xla(mode):
+    """fix_x fast path: frozen-coordinate embedding export on the fused
+    kernels (VERDICT round-1 item 7; reference molopt_score_model.py:619-631)."""
+    cfg = small_flagship()
+    batch = batch_mult8()
+    model = DiffusionModel(cfg, PROTEIN_DIM, NUM_CLASSES, max_protein=16, max_ligand=8)
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    ref = model.fetch_embedding(params, batch)
+    fast = model.fast_apply(
+        params, batch, batch.ligand_pos, batch.ligand_v, None,
+        dtype=jnp.float32, interpret=True, mode=mode, fix_x=True,
+    )
+    lm = np.asarray(batch.ligand_mask)[..., None]
+    # coordinates must be exactly frozen on the fast path
+    np.testing.assert_allclose(
+        np.asarray(fast["pred_ligand_pos"]) * lm,
+        np.asarray(batch.ligand_pos) * lm, atol=1e-6,
+    )
+    for key in ("final_ligand_h", "pred_ligand_v"):
+        a = np.asarray(ref[key]) * lm
+        b = np.asarray(fast[key]) * lm
+        np.testing.assert_allclose(a, b, atol=2e-3, rtol=2e-2)

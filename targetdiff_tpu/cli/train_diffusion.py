@@ -58,11 +58,28 @@ def main(argv=None):
     ap.add_argument("--train_report_iter", type=int, default=200)
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
                     help="denoiser compute dtype (params stay f32)")
+    ap.add_argument("--dist_coordinator", default=None,
+                    help="multi-host: coordinator address host:port")
+    ap.add_argument("--dist_num_processes", type=int, default=None)
+    ap.add_argument("--dist_process_id", type=int, default=None)
     args = ap.parse_args(argv)
+
+    # multi-host runtime init MUST precede the first backend touch
+    # (parallel/mesh.py init_distributed; SURVEY §5 distributed-backend row)
+    from ..parallel.mesh import init_distributed
+
+    multiproc = init_distributed(
+        args.dist_coordinator, args.dist_num_processes, args.dist_process_id
+    )
+    is_main = jax.process_index() == 0
 
     config = load_config(args.config)
     seed_all(config.train.seed)
-    log_dir = get_new_log_dir(args.logdir, prefix="training", tag=args.tag)
+    log_dir = get_new_log_dir(
+        args.logdir,
+        prefix="training",
+        tag=(args.tag + (f"p{jax.process_index()}" if multiproc else "")),
+    )
     logger = get_logger("train", log_dir)
     try:
         from tensorboardX import SummaryWriter
@@ -127,6 +144,20 @@ def main(argv=None):
         else:
             logger.info(f"batch {config.train.batch_size} not divisible across "
                         f"{n_dev} devices; single-device training")
+    if multiproc:
+        assert mesh is not None, (
+            "multi-process training needs batch_size divisible over the "
+            "global device count"
+        )
+        from ..parallel.mesh import replicate_state
+
+        # identical seeds -> identical init on every process; placing onto the
+        # process-spanning mesh makes the state a true global array
+        state = TrainState(
+            replicate_state(state.params, mesh),
+            replicate_state(state.opt_state, mesh),
+            state.step, state.Lt_history, state.Lt_count,
+        )
 
     train_step = make_train_step(model, optimizer, config.train.pos_noise_std, mesh=mesh)
     eval_step = make_eval_step(model)
@@ -157,15 +188,18 @@ def main(argv=None):
                 train_utils.set_learning_rate(state.opt_state, new_lr)
                 if val_loss < best_val:
                     best_val = val_loss
-                    ckpt = os.path.join(log_dir, f"ckpt_{it}.npz")
-                    save_checkpoint(
-                        ckpt, config, state.params, state.opt_state,
-                        scheduler.state_dict(), it,
-                    )
-                    logger.info(f"[val] new best {val_loss:.4f} -> {ckpt}")
+                    if is_main:  # rank 0 owns checkpoints in multi-host runs
+                        ckpt = os.path.join(log_dir, f"ckpt_{it}.npz")
+                        save_checkpoint(
+                            ckpt, config, state.params, state.opt_state,
+                            scheduler.state_dict(), it,
+                        )
+                        logger.info(f"[val] new best {val_loss:.4f} -> {ckpt}")
             it += 1
     except KeyboardInterrupt:
         logger.info("interrupted; saving last checkpoint")
+        if not is_main:
+            return
         save_checkpoint(
             os.path.join(log_dir, f"ckpt_last_{it}.npz"), config, state.params,
             state.opt_state, scheduler.state_dict(), it,

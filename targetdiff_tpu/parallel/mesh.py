@@ -63,6 +63,55 @@ def param_shardings(params, mesh: Mesh):
 
 def shard_batch(batch, mesh: Mesh):
     """Place a ComplexBatch (or any pytree with leading batch axis) onto the
-    mesh, sharded over dp."""
+    mesh, sharded over dp. Works single-process (device_put) and
+    multi-process (each process materializes only its addressable shards of
+    the identical global batch)."""
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(lambda x: global_array(x, sh), batch)
+
+
+# ---------------------------------------------------------------------------
+# multi-host (DCN) support — SURVEY §5 "TPU-native equivalent: jax.distributed
+# + multi-host pjit". The reference has no distributed runtime at all; its
+# only multi-device mechanism is shell-script process sharding
+# (scripts/batch_sample_diffusion.sh:15-21).
+# ---------------------------------------------------------------------------
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Initialize the multi-process JAX runtime (call BEFORE anything touches
+    the backend — the first `jax.devices()` locks it). On TPU pods the three
+    arguments auto-detect from the environment; on CPU/GPU they must be
+    given. Returns True when running multi-process."""
+    if coordinator_address is None and num_processes is None:
+        # single-host run, or TPU-pod auto-detection explicitly not requested
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_count() > 1
+
+
+def global_array(x, sharding: NamedSharding):
+    """Build a global jax.Array spanning all processes from an identical
+    host-local copy of the full value (every process holds the same global
+    batch; each materializes only its addressable shards)."""
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def replicate_state(tree, mesh: Mesh):
+    """Replicate a pytree (params/opt state) across every device of a
+    process-spanning mesh."""
+    sh = replicated_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(lambda x: global_array(x, sh), tree)

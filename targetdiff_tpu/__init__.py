@@ -18,3 +18,17 @@ Architecture stance (vs the PyTorch/PyG reference):
 """
 
 __version__ = "0.1.0"
+
+# The fused block-denoiser keeps its one-hot gather + edge caches resident in
+# VMEM (~20 MB scoped) — above libtpu's default 16 MB scoped-vmem budget but
+# far below the chip's physical VMEM (measured: 96 MB scratch compiles and
+# runs on v5e). Raise the limit before the backend initializes; respect any
+# user-provided setting.
+import os as _os
+
+if "xla_tpu_scoped_vmem_limit_kib" not in _os.environ.get("LIBTPU_INIT_ARGS", ""):
+    _os.environ["LIBTPU_INIT_ARGS"] = (
+        _os.environ.get("LIBTPU_INIT_ARGS", "")
+        + " --xla_tpu_scoped_vmem_limit_kib=98304"
+    ).strip()
+del _os

@@ -234,6 +234,7 @@ def fast_forward(
                 h, x, nbh.idx, nbh.mask, etype, upd_mask, offsets,
                 ew_p, block_p, num_layers=cfg.num_layers, n_heads=cfg.n_heads,
                 coeff=coeff, dtype=dtype, interpret=interpret,
+                n_ligand=init_ligand_pos.shape[1],
             )
             continue
 

@@ -1,22 +1,33 @@
-"""Whole-block fused denoiser megakernel.
+"""Whole-block fused denoiser megakernel (v5).
 
 One pallas_call per UniTransformerO2 block runs ALL num_layers attention
-layers (x2h + h2x each) for one complex per grid step, entirely in VMEM:
+layers (x2h + h2x each) for one complex per grid step, entirely in VMEM
+(reference: models/uni_transformer.py:11-210; the reference launches ~40
+CUDA kernels per layer through PyG scatter/gather ops).
 
-  * grid = (B,): node features h [N,128], coordinates x [N,3], the kNN edge
-    arrays and ALL stacked layer parameters are VMEM-resident; h/x ping-pong
-    between two scratch buffers across layers;
+Design — driven by measured VMEM-traffic accounting on v5e (the kernel is
+bandwidth-bound on [N*K, N]-sized one-hot reads at ~270 GB/s effective):
+
+  * grid = (B,): h [N,128], x [N,3], kNN edge arrays and ALL stacked layer
+    parameters are VMEM-resident; h/x ping-pong between two scratches.
+    Requires the raised scoped-VMEM limit (set on import in
+    targetdiff_tpu/__init__.py; the chip has >=96 MB usable).
+  * ocache [N*K, N] bf16: the gather one-hot is built ONCE per block and
+    reused by all L x 2 passes (v1 rebuilt it per tile-pass).
+  * gather folded into the edge MLPs: onehot @ [h@w1j_k | h@w1j_v], with
+    the node-level h@w1j done once per layer — per-edge h_j is never
+    materialized, and ONE one-hot read serves both the k and v MLPs.
+  * geometry updates are ligand-only: protein atoms never move during a
+    block, so rel' = rel + d_i - onehot_lig @ d_lig gathers just the
+    [n_ligand] delta rows through a 128-lane one-hot (50x smaller read
+    than a full [N*K, N] gather per layer).
+  * rel lives in an aligned [N*K, 8] f32 scratch (no hi/lo bf16 split, no
+    sub-vreg lane slicing).
   * the global edge weights e_w (sigmoid MLP of block-start distances,
     reference models/uni_transformer.py:312-318) are computed once into a
-    [N, K] scratch and reused by every layer — the reference's semantics;
-  * per (layer, tile): neighbor gather via bf16 one-hot matmul (hi/lo split
-    keeps f32-exact coordinates), split-input edge MLPs, masked per-center
-    softmax, aggregation, equivariant coordinate update
-    (reference: models/uni_transformer.py:11-210).
-
-vs the per-layer kernels (edge_layer.py) this removes 17 of 18 kernel
-launches per denoiser call, all intermediate HBM round-trips of h and x, and
-the per-grid-step pipeline overhead that dominated the trace profile.
+    [N, K] scratch and reused by every layer.
+  * LayerNorm mean/var as MXU matmuls with a ones vector; K-axis softmax
+    aggregation as [TI, TI*K] segment-matrix matmuls.
 """
 
 from __future__ import annotations
@@ -34,19 +45,13 @@ NEG = -1e9
 
 
 class BlockParams(NamedTuple):
-    """All layer parameters stacked on a leading layer axis [L, ...].
-    Edge-MLP first Linears are merged/split by kv-input block: w1er covers
-    [edge_feat(4) | r_feat(4R)] rows, w1i/w1j the h_i/h_j rows (kv-input
-    order per reference models/uni_transformer.py:49-51). Vectors are
-    stacked as [L, 1, D]. Weights bf16, vectors f32."""
-
-    hk_w1er: jnp.ndarray  # [L, 4+4R, H]
-    hk_w1i: jnp.ndarray  # [L, H, H]
-    hk_w1j: jnp.ndarray  # [L, H, H]
-    hk_b1: jnp.ndarray  # [L, 1, H]
+    hk_w1er: jnp.ndarray
+    hk_w1i: jnp.ndarray
+    hk_w1j: jnp.ndarray
+    hk_b1: jnp.ndarray
     hk_lns: jnp.ndarray
     hk_lnb: jnp.ndarray
-    hk_w2: jnp.ndarray  # [L, H, H]
+    hk_w2: jnp.ndarray
     hk_b2: jnp.ndarray
     hv_w1er: jnp.ndarray
     hv_w1i: jnp.ndarray
@@ -56,7 +61,7 @@ class BlockParams(NamedTuple):
     hv_lnb: jnp.ndarray
     hv_w2: jnp.ndarray
     hv_b2: jnp.ndarray
-    hq_w1: jnp.ndarray  # [L, H, H]
+    hq_w1: jnp.ndarray
     hq_b1: jnp.ndarray
     hq_lns: jnp.ndarray
     hq_lnb: jnp.ndarray
@@ -76,8 +81,8 @@ class BlockParams(NamedTuple):
     xv_b1: jnp.ndarray
     xv_lns: jnp.ndarray
     xv_lnb: jnp.ndarray
-    xv_w2: jnp.ndarray  # [L, H, heads]
-    xv_b2: jnp.ndarray  # [L, 1, heads]
+    xv_w2: jnp.ndarray
+    xv_b2: jnp.ndarray
     xq_w1: jnp.ndarray
     xq_b1: jnp.ndarray
     xq_lns: jnp.ndarray
@@ -87,187 +92,256 @@ class BlockParams(NamedTuple):
 
 
 class EwParams(NamedTuple):
-    """edge_pred_layer MLP (reference models/uni_transformer.py:242-243)."""
-
-    w1: jnp.ndarray  # [R, hid] bf16
-    b1: jnp.ndarray  # [1, hid] f32
+    w1: jnp.ndarray
+    b1: jnp.ndarray
     lns: jnp.ndarray
     lnb: jnp.ndarray
-    w2: jnp.ndarray  # [hid, 1] bf16
-    b2: jnp.ndarray  # [1, 1] f32
+    w2: jnp.ndarray
+    b2: jnp.ndarray
 
 
-def _ln_relu(x, scale, bias, eps=1e-5):
-    """LayerNorm + relu with the mean/mean-square reductions done as one MXU
-    matmul against a ones-matrix (VPU reduction passes over [TNK, H] were a
-    measurable share of the kernel's elementwise budget)."""
+def _ln_relu(x, scale, bias, eps=1e-5, out_dtype=None):
+    """LayerNorm + relu; mean/mean-square reductions as MXU matmuls."""
     xf = x.astype(jnp.float32)
     H = xf.shape[-1]
-    ones2 = jnp.ones((H, 8), jnp.float32) / H  # 8 lanes for tile alignment
+    ones2 = jnp.ones((H, 8), jnp.float32) / H
     x2 = xf * xf
     mean = jnp.dot(xf, ones2, preferred_element_type=jnp.float32)[:, :1]
     m2 = jnp.dot(x2, ones2, preferred_element_type=jnp.float32)[:, :1]
     var = jnp.maximum(m2 - mean * mean, 0.0)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    return jnp.maximum(y * scale + bias, 0.0)
+    out = jnp.maximum(y * scale + bias, 0.0)
+    if out_dtype is not None:
+        out = out.astype(out_dtype)
+    return out
 
 
 def _block_kernel(
     h_ref, x_ref, idx_ref, nmask_ref, etype_ref, mlig_ref, offsets_ref,
     ewp: EwParams, bp: BlockParams,
     hout_ref, xout_ref,
-    hbuf, xbuf, ewbuf,
-    *, N, H, K, L, n_heads, coeff, dtype, TN,
+    hbuf, xbuf, ewbuf, ecache, relc, ocache, olcache, dlig, nw, ni, nq, wkv,
+    *, N, H, K, L, n_heads, coeff, dtype, TI, NLIG,
 ):
-    T = N // TN
-    TNK = TN * K
+    NK = N * K
     dh = H // n_heads
-    UNROLL = 1  # Mosaic fori_loop supports only unroll=1 or full unroll (full crashes the compiler at this size)
+    T = N // TI
+    TNK = TI * K
+
     lane = jax.lax.broadcasted_iota(jnp.int32, (H, n_heads), 0)
     headi = jax.lax.broadcasted_iota(jnp.int32, (H, n_heads), 1)
-    S = (lane // dh == headi).astype(jnp.float32)  # [H, heads]
-    St = S.T
+    S = (lane // dh == headi).astype(dtype)  # [H, heads]
+    St = S.T.astype(jnp.float32)
 
     hbuf[0] = h_ref[0].astype(dtype)
     xbuf[0] = x_ref[0].astype(jnp.float32)
+    # uninitialized lanes/rows of the ligand-delta staging buffer would feed
+    # 0 * garbage into the regeo dot — zero it once per complex
+    dlig[:, :] = jnp.zeros((128, 16), jnp.float32)
 
-    # center-segment sum as an MXU matmul: seg[n, e] = (e // K == n)
-    seg_row = jax.lax.broadcasted_iota(jnp.int32, (TN, TN * K), 0)
-    seg_col = jax.lax.broadcasted_iota(jnp.int32, (TN, TN * K), 1)
-    SEG = (seg_col // K == seg_row).astype(jnp.float32)  # [TN, TNK]
+    seg_row = jax.lax.broadcasted_iota(jnp.int32, (TI, TNK), 0)
+    seg_col = jax.lax.broadcasted_iota(jnp.int32, (TI, TNK), 1)
+    SEG = (seg_col // K == seg_row).astype(dtype)  # [TI, TNK]
+    SEGf = SEG.astype(jnp.float32)
 
-    def lift(v2):  # [TN, K] -> [TNK, 1]
-        return jnp.broadcast_to(v2[:, :, None], (TN, K, 8)).reshape(TNK, 8)[:, :1]
+    def lift_rows(v2, rows_n, tnk):  # [rows_n, K] -> [tnk, 1]
+        return jnp.broadcast_to(v2[:, :, None], (rows_n, K, 8)).reshape(tnk, 8)[:, :1]
 
-    def onehot_of(rows):
-        idx_t = idx_ref[0, rows, :]  # [TN, K]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (TN, K, N), 2)
-        return (idx_t[:, :, None] == iota).astype(dtype).reshape(TNK, N)
-
-    def geometry(onehot, x_tile, x_hi, x_lo):
-        xj = (
-            jnp.dot(onehot, x_hi, preferred_element_type=jnp.float32)
-            + jnp.dot(onehot, x_lo, preferred_element_type=jnp.float32)
-        )  # [TNK, 3]
-        xi = jnp.broadcast_to(x_tile[:, None, :], (TN, K, 3)).reshape(TNK, 3)
-        rel = xi - xj
-        dist = jnp.sqrt((rel * rel).sum(-1, keepdims=True) + 1e-16)
-        return rel, dist
-
-    def feat_of(rows, dist):
-        rbf = jnp.exp(coeff * (dist - offsets_ref[:]) ** 2)  # [TNK, R]
-        iota4 = jax.lax.broadcasted_iota(jnp.int32, (TN, K, 4), 2)
-        et4 = (etype_ref[0, rows, :][:, :, None] == iota4).astype(jnp.float32)
-        et4f = et4.reshape(TNK, 4)
-        # kv-input prefix: [edge_feat(4) | outer(edge_type, rbf)(4R)]
-        return jnp.concatenate(
+    def feat_pack(erows, rel, dist, tnk, et2d):
+        """feat = [onehot(et,4) | rbf(20) x onehot(et,4)] into ecache
+        (reference models/uni_transformer.py:49-51 kv-input order); rel goes
+        to the aligned f32 relc scratch."""
+        rbf = jnp.exp(coeff * (dist - offsets_ref[:]) ** 2)  # [tnk, R]
+        nrows = et2d.shape[0]
+        ets = [
+            lift_rows((et2d == t).astype(jnp.float32), nrows, tnk) for t in range(4)
+        ]
+        et4f = jnp.concatenate(ets, axis=1)
+        feat = jnp.concatenate(
             [et4f] + [rbf * et4f[:, i : i + 1] for i in range(4)], axis=1
-        ), rbf
+        )
+        zrest = jnp.zeros((tnk, 128 - 84), dtype)
+        ecache[erows, :] = jnp.concatenate([feat.astype(dtype), zrest], axis=1)
+        relc[erows, 0:3] = rel
+        return rbf
 
-    # ---- block-start edge weights into ewbuf [N, K] ----
-    def init_ew(ti, _):
-        rows = pl.ds(ti * TN, TN)
+    # ---- block-start init: one-hot cache, feat/rel cache, edge weights ----
+    def init_tile(ti, _):
+        rows = pl.ds(ti * TI, TI)
+        erows = pl.ds(ti * TNK, TNK)
+        idx_t = idx_ref[0, rows, :]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (TI, K, N), 2)
+        oh = (idx_t[:, :, None] == iota).astype(dtype).reshape(TNK, N)
+        ocache[erows, :] = oh
+        # ligand-only one-hot (lane = idx - (N - NLIG)); geometry updates
+        # later in the block gather ONLY ligand deltas through this
+        iotaL = jax.lax.broadcasted_iota(jnp.int32, (TI, K, 128), 2)
+        ridx = idx_t - (N - NLIG)
+        ohl = ((ridx[:, :, None] == iotaL) & (ridx[:, :, None] >= 0)).astype(
+            dtype
+        ).reshape(TNK, 128)
+        olcache[erows, :] = ohl
         x_cur = xbuf[0]
         x_hi = x_cur.astype(dtype)
         x_lo = (x_cur - x_hi.astype(jnp.float32)).astype(dtype)
-        onehot = onehot_of(rows)
-        _, dist = geometry(onehot, xbuf[0, rows, :], x_hi, x_lo)
-        rbf = jnp.exp(coeff * (dist - offsets_ref[:]) ** 2)
+        xhl = jnp.concatenate(
+            [x_hi, jnp.zeros((N, 5), dtype), x_lo, jnp.zeros((N, 5), dtype)], 1
+        )  # [N,16]: one oh read serves both halves
+        xj2 = jnp.dot(oh, xhl, preferred_element_type=jnp.float32)
+        xj = xj2[:, 0:3] + xj2[:, 8:11]
+        xi = jnp.broadcast_to(
+            xbuf[0, rows, :][:, None, :], (TI, K, 3)
+        ).reshape(TNK, 3)
+        rel = xi - xj
+        dist = jnp.sqrt((rel * rel).sum(-1, keepdims=True) + 1e-16)
+        rbf = feat_pack(erows, rel, dist, TNK, etype_ref[0, rows, :])
         z = jnp.dot(rbf.astype(dtype), ewp.w1[:], preferred_element_type=jnp.float32) + ewp.b1[:]
-        z = _ln_relu(z, ewp.lns[:], ewp.lnb[:]).astype(dtype)
+        z = _ln_relu(z, ewp.lns[:], ewp.lnb[:], out_dtype=dtype)
         logit = jnp.dot(z, ewp.w2[:], preferred_element_type=jnp.float32) + ewp.b2[:]
-        ewbuf[rows, :] = jax.nn.sigmoid(logit).reshape(TN, K)
+        ewbuf[rows, :] = jax.nn.sigmoid(logit).reshape(TI, K)
         return 0
 
-    jax.lax.fori_loop(0, T, init_ew, 0, unroll=False)
+    jax.lax.fori_loop(0, T, init_tile, 0, unroll=False)
 
-    def edge_mlp(feat, hi_term, hj, w1er, w1j, b1, lns, lnb, w2, b2):
-        z = (
-            jnp.dot(feat.astype(dtype), w1er, preferred_element_type=jnp.float32)
-            + jnp.dot(hj, w1j, preferred_element_type=jnp.float32)
-            + jnp.broadcast_to(hi_term[:, None, :], (TN, K, H)).reshape(TNK, H)
-            + b1
-        )
-        z = _ln_relu(z, lns, lnb).astype(dtype)
-        return jnp.dot(z, w2, preferred_element_type=jnp.float32) + b2
+    def stage_node(h_all, w1er_k, w1er_v, w1j_k, w1j_v, w1i_k, b1_k, w1i_v, b1_v,
+                   qw1, qb1, qlns, qlnb, qw2, qb2):
+        """Per-layer node-level precomputes into scratches:
+        nw = [h@w1j_k | h@w1j_v] bf16; ni = [h@w1i_k + b1_k | h@w1i_v + b1_v]
+        f32; nq = node-MLP output f32 (gather-fold: onehot @ nw replaces the
+        per-edge hj materialization)."""
+        wkv[0:84, :H] = w1er_k
+        wkv[0:84, H:] = w1er_v
+        nw[:, :H] = jnp.dot(h_all, w1j_k, preferred_element_type=jnp.float32).astype(dtype)
+        nw[:, H:] = jnp.dot(h_all, w1j_v, preferred_element_type=jnp.float32).astype(dtype)
+        ni[:, :H] = jnp.dot(h_all, w1i_k, preferred_element_type=jnp.float32) + b1_k
+        ni[:, H:] = jnp.dot(h_all, w1i_v, preferred_element_type=jnp.float32) + b1_v
+        z = jnp.dot(h_all, qw1, preferred_element_type=jnp.float32) + qb1
+        z = _ln_relu(z, qlns, qlnb, out_dtype=dtype)
+        nq[:, :] = jnp.dot(z, qw2, preferred_element_type=jnp.float32) + qb2
 
-    def node_mlp(h_tile, w1, b1, lns, lnb, w2, b2):
-        z = jnp.dot(h_tile, w1, preferred_element_type=jnp.float32) + b1
-        z = _ln_relu(z, lns, lnb).astype(dtype)
-        return jnp.dot(z, w2, preferred_element_type=jnp.float32) + b2
+    def edge_mlp_kv(oh, feat, hi_kv_rep,
+                    lns_k, lnb_k, w2_k, b2_k, lns_v, lnb_v, w2_v, b2_v):
+        """Fused k+v edge MLPs: ONE gather-shaped dot with the combined
+        [N, 2H] node-precompute RHS (nw), so the 11 MB one-hot LHS is read
+        once per pass instead of twice; LN/w2 then run per 128-lane half."""
+        zg = jnp.dot(oh, nw[:, :], preferred_element_type=jnp.float32)  # [tnk, 2H]
+        zf = jnp.dot(feat, wkv[0:84, :], preferred_element_type=jnp.float32)
+        z = zg + zf + hi_kv_rep
+        z_k = _ln_relu(z[:, :H], lns_k, lnb_k, out_dtype=dtype)
+        z_v = _ln_relu(z[:, H:], lns_v, lnb_v, out_dtype=dtype)
+        k = (jnp.dot(z_k, w2_k, preferred_element_type=jnp.float32) + b2_k).astype(dtype)
+        v = (jnp.dot(z_v, w2_v, preferred_element_type=jnp.float32) + b2_v).astype(dtype)
+        return k, v
 
-    def attention(k, q_tile, nm1):
+    def softmax_of(k, q_tile, nm_t):
         q_rep = jnp.broadcast_to(
-            q_tile.astype(dtype)[:, None, :], (TN, K, H)
+            q_tile[:, None, :], (TI, K, H)
         ).reshape(TNK, H)
-        prod = (k.astype(dtype) * q_rep).astype(jnp.float32)
+        prod = k * q_rep
         logits = jnp.dot(prod, S, preferred_element_type=jnp.float32) / math.sqrt(dh)
-        lg = jnp.where(nm1 > 0, logits, NEG).reshape(TN, K, n_heads)
+        lg = jnp.where(nm_t > 0, logits.reshape(TI, K, n_heads), NEG)
         mx = lg.max(axis=1, keepdims=True)
-        e = jnp.exp(lg - mx) * nm1.reshape(TN, K, 1)
+        e = jnp.exp(lg - mx) * nm_t
         den = e.sum(axis=1, keepdims=True)
         return (e / jnp.maximum(den, 1e-16)).reshape(TNK, n_heads)
 
     def layer_body(l, _):
         src = jax.lax.rem(l, 2)
         dst = jax.lax.rem(l + 1, 2)
-        x_cur = xbuf[src]
-        x_hi = x_cur.astype(dtype)
-        x_lo = (x_cur - x_hi.astype(jnp.float32)).astype(dtype)
+
+        # geometry changed in the previous layer's h2x — but ONLY ligand
+        # atoms move, so the update gathers just the [NLIG] delta block
+        # through the 128-lane ligand one-hot (50x smaller read than a full
+        # [NK, N] gather): rel' = rel + d_i - oh_lig @ d_lig
+        @pl.when(l > 0)
+        def _():
+            dl = xbuf[src, N - NLIG : N, :] - xbuf[1 - src, N - NLIG : N, :]
+            d_hi = dl.astype(dtype)
+            d_lo = (dl - d_hi.astype(jnp.float32)).astype(dtype)
+            dlig[0:NLIG, 0:3] = d_hi.astype(jnp.float32)
+            dlig[0:NLIG, 8:11] = d_lo.astype(jnp.float32)
+
+            def regeo_tile(ti, _):
+                rows = pl.ds(ti * TI, TI)
+                erows = pl.ds(ti * TNK, TNK)
+                rel_old = relc[erows, 0:3]
+                ohl = olcache[erows, :]
+                dj2 = jnp.dot(ohl, dlig[:, :].astype(dtype),
+                              preferred_element_type=jnp.float32)
+                dj = dj2[:, 0:3] + dj2[:, 8:11]
+                d_rows = xbuf[src, rows, :] - xbuf[1 - src, rows, :]
+                di = jnp.broadcast_to(
+                    d_rows[:, None, :], (TI, K, 3)
+                ).reshape(TNK, 3)
+                rel = rel_old + di - dj
+                dist = jnp.sqrt((rel * rel).sum(-1, keepdims=True) + 1e-16)
+                feat_pack(erows, rel, dist, TNK, etype_ref[0, rows, :])
+                return 0
+
+            jax.lax.fori_loop(0, T, regeo_tile, 0, unroll=False)
+
+        # ---- pass A: x2h ----
+        stage_node(hbuf[src], bp.hk_w1er[l], bp.hv_w1er[l], bp.hk_w1j[l], bp.hv_w1j[l], bp.hk_w1i[l],
+                   bp.hk_b1[l], bp.hv_w1i[l], bp.hv_b1[l],
+                   bp.hq_w1[l], bp.hq_b1[l], bp.hq_lns[l], bp.hq_lnb[l],
+                   bp.hq_w2[l], bp.hq_b2[l])
 
         def x2h_tile(ti, _):
-            rows = pl.ds(ti * TN, TN)
-            onehot = onehot_of(rows)
-            hj = jnp.dot(onehot, hbuf[src], preferred_element_type=jnp.float32)
-            h_tile = hbuf[src, rows, :]
-            _, dist = geometry(onehot, xbuf[src, rows, :], x_hi, x_lo)
-            feat, _ = feat_of(rows, dist)
-            nm1 = lift(nmask_ref[0, rows, :])
-            ew1 = lift(ewbuf[rows, :])
-
-            hi_k = jnp.dot(h_tile, bp.hk_w1i[l], preferred_element_type=jnp.float32)
-            k = edge_mlp(feat, hi_k, hj, bp.hk_w1er[l], bp.hk_w1j[l], bp.hk_b1[l],
-                         bp.hk_lns[l], bp.hk_lnb[l], bp.hk_w2[l], bp.hk_b2[l])
-            hi_v = jnp.dot(h_tile, bp.hv_w1i[l], preferred_element_type=jnp.float32)
-            v = edge_mlp(feat, hi_v, hj, bp.hv_w1er[l], bp.hv_w1j[l], bp.hv_b1[l],
-                         bp.hv_lns[l], bp.hv_lnb[l], bp.hv_w2[l], bp.hv_b2[l])
-            v = v * ew1
-            q = node_mlp(h_tile, bp.hq_w1[l], bp.hq_b1[l], bp.hq_lns[l],
-                         bp.hq_lnb[l], bp.hq_w2[l], bp.hq_b2[l])
-            alpha = attention(k, q, nm1)
+            rows = pl.ds(ti * TI, TI)
+            erows = pl.ds(ti * TNK, TNK)
+            oh = ocache[erows, :]
+            feat = ecache[erows, 0:84]
+            hi_kv_rep = jnp.broadcast_to(
+                ni[rows, :][:, None, :], (TI, K, 2 * H)
+            ).reshape(TNK, 2 * H)
+            k, v = edge_mlp_kv(oh, feat, hi_kv_rep,
+                               bp.hk_lns[l], bp.hk_lnb[l], bp.hk_w2[l], bp.hk_b2[l],
+                               bp.hv_lns[l], bp.hv_lnb[l], bp.hv_w2[l], bp.hv_b2[l])
+            nm_t = nmask_ref[0, rows, :].reshape(TI, K, 1)
+            alpha = softmax_of(k, nq[rows, :].astype(dtype), nm_t)
             alpha128 = jnp.dot(alpha, St, preferred_element_type=jnp.float32)
-            out = jnp.dot(SEG, alpha128 * v, preferred_element_type=jnp.float32)
-            hbuf[dst, rows, :] = (out + h_tile.astype(jnp.float32)).astype(dtype)
+            ew1 = lift_rows(ewbuf[rows, :], TI, TNK)
+            av = (alpha128 * ew1 * v.astype(jnp.float32)).astype(dtype)
+            out = jnp.dot(SEG, av, preferred_element_type=jnp.float32)
+            hbuf[dst, rows, :] = (
+                out + hbuf[src, rows, :].astype(jnp.float32)
+            ).astype(dtype)
             return 0
 
-        jax.lax.fori_loop(0, T, x2h_tile, 0, unroll=UNROLL)
+        jax.lax.fori_loop(0, T, x2h_tile, 0, unroll=False)
+
+        # ---- pass B: h2x ----
+        stage_node(hbuf[dst], bp.xk_w1er[l], bp.xv_w1er[l], bp.xk_w1j[l], bp.xv_w1j[l], bp.xk_w1i[l],
+                   bp.xk_b1[l], bp.xv_w1i[l], bp.xv_b1[l],
+                   bp.xq_w1[l], bp.xq_b1[l], bp.xq_lns[l], bp.xq_lnb[l],
+                   bp.xq_w2[l], bp.xq_b2[l])
 
         def h2x_tile(ti, _):
-            rows = pl.ds(ti * TN, TN)
-            onehot = onehot_of(rows)
-            hj = jnp.dot(onehot, hbuf[dst], preferred_element_type=jnp.float32)
-            h_tile = hbuf[dst, rows, :]
-            rel, dist = geometry(onehot, xbuf[src, rows, :], x_hi, x_lo)
-            feat, _ = feat_of(rows, dist)
-            nm1 = lift(nmask_ref[0, rows, :])
-            ew1 = lift(ewbuf[rows, :])
-
-            hi_k = jnp.dot(h_tile, bp.xk_w1i[l], preferred_element_type=jnp.float32)
-            k = edge_mlp(feat, hi_k, hj, bp.xk_w1er[l], bp.xk_w1j[l], bp.xk_b1[l],
-                         bp.xk_lns[l], bp.xk_lnb[l], bp.xk_w2[l], bp.xk_b2[l])
-            hi_v = jnp.dot(h_tile, bp.xv_w1i[l], preferred_element_type=jnp.float32)
-            v16 = edge_mlp(feat, hi_v, hj, bp.xv_w1er[l], bp.xv_w1j[l], bp.xv_b1[l],
-                           bp.xv_lns[l], bp.xv_lnb[l], bp.xv_w2[l], bp.xv_b2[l])
-            v16 = v16 * ew1
-            q = node_mlp(h_tile, bp.xq_w1[l], bp.xq_b1[l], bp.xq_lns[l],
-                         bp.xq_lnb[l], bp.xq_w2[l], bp.xq_b2[l])
-            alpha = attention(k, q, nm1)
-            s = (alpha * v16).sum(axis=-1, keepdims=True) / n_heads
-            delta = jnp.dot(SEG, s * rel, preferred_element_type=jnp.float32)
-            xbuf[dst, rows, :] = xbuf[src, rows, :] + delta * mlig_ref[0, rows, :]
+            rows = pl.ds(ti * TI, TI)
+            erows = pl.ds(ti * TNK, TNK)
+            oh = ocache[erows, :]
+            feat = ecache[erows, 0:84]
+            rel = relc[erows, 0:3]
+            hi_kv_rep = jnp.broadcast_to(
+                ni[rows, :][:, None, :], (TI, K, 2 * H)
+            ).reshape(TNK, 2 * H)
+            k, v16 = edge_mlp_kv(oh, feat, hi_kv_rep,
+                                 bp.xk_lns[l], bp.xk_lnb[l], bp.xk_w2[l], bp.xk_b2[l],
+                                 bp.xv_lns[l], bp.xv_lnb[l], bp.xv_w2[l], bp.xv_b2[l])
+            nm_t = nmask_ref[0, rows, :].reshape(TI, K, 1)
+            alpha = softmax_of(k, nq[rows, :].astype(dtype), nm_t)
+            ew1 = lift_rows(ewbuf[rows, :], TI, TNK)
+            s = (alpha * (v16.astype(jnp.float32) * ew1)).sum(
+                axis=-1, keepdims=True
+            ) / n_heads
+            sr = s * rel
+            delta = jnp.dot(SEGf, sr, preferred_element_type=jnp.float32)
+            xbuf[dst, rows, :] = (
+                xbuf[src, rows, :] + delta * mlig_ref[0, rows, :]
+            )
             return 0
 
-        jax.lax.fori_loop(0, T, h2x_tile, 0, unroll=UNROLL)
+        jax.lax.fori_loop(0, T, h2x_tile, 0, unroll=False)
         return 0
 
     jax.lax.fori_loop(0, L, layer_body, 0, unroll=False)
@@ -278,28 +352,29 @@ def _block_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_layers", "n_heads", "coeff", "dtype", "interpret", "tile")
+    jax.jit,
+    static_argnames=("num_layers", "n_heads", "coeff", "dtype", "interpret",
+                     "tile", "n_ligand"),
 )
 def block_denoiser(
     h, x, idx, nbr_mask, etype, mask_ligand, offsets,
     ew_params: EwParams, block_params: BlockParams,
-    *, num_layers, n_heads=16, coeff=-0.5, dtype=jnp.bfloat16, interpret=False, tile=32,
+    *, num_layers, n_heads=16, coeff=-0.5, dtype=jnp.bfloat16, interpret=False,
+    tile=104, n_ligand=32,
 ):
-    """Run the full block (num_layers x (x2h, h2x)) on dense padded inputs.
-
-    h [B,N,H]; x [B,N,3] f32; idx/nbr_mask/etype [B,N,K]; mask_ligand [B,N].
-    Returns (h_out [B,N,H], x_out [B,N,3])."""
     B, N, H = h.shape
     K = idx.shape[-1]
-    TN = min(tile, N)
-    while N % TN:
-        TN //= 2
-    assert TN >= 8, (N, tile)
+    TI = min(tile, N)
+    while N % TI or TI % 8:
+        TI -= 8
+    assert TI >= 8, (N, tile)
     R = offsets.shape[-1]
 
+    NLIG = n_ligand
+    assert NLIG <= 128, "ligand block must fit the 128-lane gather"
     kern = functools.partial(
         _block_kernel, N=N, H=H, K=K, L=num_layers, n_heads=n_heads,
-        coeff=coeff, dtype=dtype, TN=TN,
+        coeff=coeff, dtype=dtype, TI=TI, NLIG=NLIG,
     )
 
     n_ew = len(EwParams._fields)
@@ -343,6 +418,15 @@ def block_denoiser(
             pltpu.VMEM((2, N, H), dtype),
             pltpu.VMEM((2, N, 3), jnp.float32),
             pltpu.VMEM((N, K), jnp.float32),
+            pltpu.VMEM((N * K, 128), dtype),
+            pltpu.VMEM((N * K, 8), jnp.float32),
+            pltpu.VMEM((N * K, N), dtype),
+            pltpu.VMEM((N * K, 128), dtype),
+            pltpu.VMEM((128, 16), jnp.float32),
+            pltpu.VMEM((N, 2 * H), dtype),
+            pltpu.VMEM((N, 2 * H), jnp.float32),
+            pltpu.VMEM((N, H), jnp.float32),
+            pltpu.VMEM((88, 2 * H), dtype),
         ],
         interpret=interpret,
     )(

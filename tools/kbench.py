@@ -26,7 +26,7 @@ def main():
     from __graft_entry__ import _flagship
 
     NPRO = int(sys.argv[1]) if len(sys.argv) > 1 else 384
-    tile = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    tile = int(sys.argv[2]) if len(sys.argv) > 2 else 104
     B = int(sys.argv[3]) if len(sys.argv) > 3 else 100
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 5
     NL = 32

@@ -167,7 +167,7 @@ def fast_forward(
     zeroed update mask while edge types keep the true protein/ligand split."""
     cfg = config
     assert cfg.model_type == "uni_o2"
-    assert cfg.cutoff_mode == "knn" and cfg.ew_net_type == "global"
+    assert cfg.cutoff_mode in ("knn", "hybrid") and cfg.ew_net_type == "global"
     assert not cfg.x2h_out_fc and cfg.num_x2h == 1 and cfg.num_h2x == 1
     assert not cfg.sync_twoup and cfg.get("time_emb_dim", 0) == 0
     assert cfg.act_fn == "relu" and cfg.norm
@@ -208,8 +208,14 @@ def fast_forward(
             for l in range(cfg.num_layers)
         ]
 
+    NL = init_ligand_pos.shape[1]
     for _b in range(cfg.num_blocks):
-        if mode == "mega":
+        if cfg.cutoff_mode == "hybrid":
+            # hybrid connectivity (reference models/common.py:165-212): same
+            # dense [B, N, K'] neighborhood format, so the megakernel
+            # consumes it unchanged (K' = max_ligand - 1 + knn)
+            nbh = G.hybrid_graph(x, node_mask, mask_ligand, cfg.knn, NL)
+        elif mode == "mega":
             # fused d2+top-k kernel: the [B,N,N] distance matrix never
             # touches HBM (ops/pallas/knn.py)
             from ..ops.pallas.knn import knn_graph_pallas
@@ -234,7 +240,7 @@ def fast_forward(
                 h, x, nbh.idx, nbh.mask, etype, upd_mask, offsets,
                 ew_p, block_p, num_layers=cfg.num_layers, n_heads=cfg.n_heads,
                 coeff=coeff, dtype=dtype, interpret=interpret,
-                n_ligand=init_ligand_pos.shape[1],
+                n_ligand=NL,
             )
             continue
 

@@ -146,3 +146,26 @@ def test_fetch_embedding_fast_matches_xla(mode):
         a = np.asarray(ref[key]) * lm
         b = np.asarray(fast[key]) * lm
         np.testing.assert_allclose(a, b, atol=2e-3, rtol=2e-2)
+
+
+@pytest.mark.parametrize("mode", ["layers", "mega"])
+def test_fast_forward_hybrid_cutoff_matches_xla(mode):
+    """Hybrid connectivity on the fused kernels: same dense neighborhood
+    format, K' = max_ligand - 1 + knn (reference models/common.py:165-212)."""
+    cfg = small_flagship()
+    cfg.cutoff_mode = "hybrid"
+    batch = batch_mult8()
+    model = DiffusionModel(cfg, PROTEIN_DIM, NUM_CLASSES, max_protein=16, max_ligand=8)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    t = jnp.array([3, 7])
+
+    ref = model.apply(params, batch, batch.ligand_pos, batch.ligand_v, t)
+    fast = model.fast_apply(
+        params, batch, batch.ligand_pos, batch.ligand_v, t,
+        dtype=jnp.float32, interpret=True, mode=mode,
+    )
+    lm = np.asarray(batch.ligand_mask)[..., None]
+    for key in ("pred_ligand_pos", "pred_ligand_v", "final_ligand_h"):
+        a = np.asarray(ref[key]) * lm
+        b = np.asarray(fast[key]) * lm
+        np.testing.assert_allclose(a, b, atol=2e-3, rtol=2e-2)

@@ -271,9 +271,16 @@ def _bridge_spiro(mol: Molecule):
 
 
 def normalized_sa(mol: Molecule) -> float:
-    """(10 - SA) / 9, the convention used in the reference's reporting
-    (notebooks/summary.ipynb)."""
-    return round((10 - sa_score(mol)) / 9, 2)
+    """(10 - SA) / 9 rounded to 2 decimals, exactly the reference's
+    compute_sa_score convention (utils/evaluation/sascorer.py:176-180).
+    Routes through the backend so the RDKit-exact vendored-table scorer is
+    used when available."""
+    from .backend import sa_score as backend_sa
+
+    sa = backend_sa(mol)
+    if sa is None:
+        sa = sa_score(mol)
+    return round((10 - sa) / 9, 2)
 
 
 # ---------------------------------------------------------------------------

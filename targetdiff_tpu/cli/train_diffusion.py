@@ -58,6 +58,9 @@ def main(argv=None):
     ap.add_argument("--train_report_iter", type=int, default=200)
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
                     help="denoiser compute dtype (params stay f32)")
+    ap.add_argument("--impl", default="xla", choices=["xla", "fast"],
+                    help="fast: attention layers as Pallas kernels with "
+                    "hand-written Pallas backwards")
     ap.add_argument("--dist_coordinator", default=None,
                     help="multi-host: coordinator address host:port")
     ap.add_argument("--dist_num_processes", type=int, default=None)
@@ -159,7 +162,9 @@ def main(argv=None):
             state.step, state.Lt_history, state.Lt_count,
         )
 
-    train_step = make_train_step(model, optimizer, config.train.pos_noise_std, mesh=mesh)
+    train_step = make_train_step(
+        model, optimizer, config.train.pos_noise_std, mesh=mesh, impl=args.impl
+    )
     eval_step = make_eval_step(model)
 
     best_val = float("inf")

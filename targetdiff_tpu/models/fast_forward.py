@@ -272,3 +272,105 @@ def fast_forward(
         "final_ligand_h": final_ligand_h,
         "final_h": h.astype(jnp.float32),
     }
+
+
+def fast_train_forward(
+    config: Config,
+    params: Any,
+    batch: ComplexBatch,
+    ligand_pos: jnp.ndarray,
+    ligand_v: jnp.ndarray,
+    num_classes: int,
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """DIFFERENTIABLE fused-kernel forward for training (VERDICT round-1
+    item 3): the attention layers run as Pallas kernels with hand-written
+    Pallas backwards (ops/pallas/edge_layer_vjp.py); embeddings, the kNN
+    graph (integer indices — no gradient), the global edge-weight MLP and
+    the v_inference head stay in XLA so their parameter gradients flow by
+    autodiff. f32 layer compute: gradients match the XLA path tightly
+    (tests/test_fast_train.py)."""
+    cfg = config
+    assert cfg.model_type == "uni_o2"
+    assert cfg.cutoff_mode in ("knn", "hybrid") and cfg.ew_net_type == "global"
+    assert not cfg.x2h_out_fc and cfg.num_x2h == 1 and cfg.num_h2x == 1
+    assert not cfg.sync_twoup and cfg.get("time_emb_dim", 0) == 0
+    assert cfg.act_fn == "relu" and cfg.norm
+
+    from ..ops.pallas.edge_layer_vjp import (
+        h2x_layer_trainable,
+        x2h_layer_trainable,
+    )
+
+    p = params["params"]
+    hidden = cfg.hidden_dim
+
+    lig_oh = jax.nn.one_hot(ligand_v, num_classes, dtype=jnp.float32)
+    h_protein = batch.protein_feat @ p["protein_atom_emb"]["kernel"] + p["protein_atom_emb"]["bias"]
+    h_ligand = lig_oh @ p["ligand_atom_emb"]["kernel"] + p["ligand_atom_emb"]["bias"]
+    if cfg.node_indicator:
+        h_protein = jnp.concatenate(
+            [h_protein, jnp.zeros(h_protein.shape[:2] + (1,), h_protein.dtype)], -1
+        )
+        h_ligand = jnp.concatenate(
+            [h_ligand, jnp.ones(h_ligand.shape[:2] + (1,), h_ligand.dtype)], -1
+        )
+
+    h, x, node_mask, mask_ligand = G.compose_context(
+        h_protein, h_ligand, batch.protein_pos, ligand_pos,
+        batch.protein_mask, batch.ligand_mask,
+    )
+    h = h.astype(jnp.float32)
+    x = x.astype(jnp.float32)
+
+    NP = batch.protein_pos.shape[1]
+    NL = ligand_pos.shape[1]
+    rp = p["refine_net"]
+    offsets, coeff = gaussian_smearing_offsets(0.0, cfg.r_max, cfg.num_r_gaussian)
+    layer_params = [
+        extract_layer_params(rp[f"block_{l}"], hidden, cfg.num_r_gaussian)
+        for l in range(cfg.num_layers)
+    ]
+
+    for _b in range(cfg.num_blocks):
+        if cfg.cutoff_mode == "hybrid":
+            nbh = G.hybrid_graph(x, node_mask, mask_ligand, cfg.knn, NL)
+        else:
+            nbh = G.knn_graph(x, node_mask, cfg.knn)
+        src_lig = jnp.take_along_axis(
+            jnp.broadcast_to(mask_ligand[:, None, :], nbh.idx.shape[:2] + (mask_ligand.shape[1],)),
+            nbh.idx, axis=2,
+        )
+        dst_lig = mask_ligand[:, :, None]
+        etype = jnp.where(
+            src_lig & dst_lig, 0, jnp.where(src_lig & ~dst_lig, 1,
+                                            jnp.where(~src_lig & dst_lig, 2, 3))
+        ).astype(jnp.int32)
+
+        # global edge weights from block-start distances (XLA, differentiable;
+        # reference models/uni_transformer.py:312-318)
+        _, dist0 = G.rel_geometry(x, nbh)
+        dist_feat = gaussian_smearing(dist0, offsets, coeff)
+        e_w = jax.nn.sigmoid(_apply_mlp(rp["edge_pred_layer"], dist_feat))[..., 0]
+
+        for px, ph in layer_params:
+            h = x2h_layer_trainable(
+                h, x, nbh.idx, nbh.mask, etype, e_w, offsets, px,
+                cfg.n_heads, coeff, interpret,
+            )
+            x = h2x_layer_trainable(
+                h, x, nbh.idx, nbh.mask, etype, e_w, mask_ligand, offsets, ph,
+                cfg.n_heads, coeff, interpret,
+            )
+
+    final_ligand_h = h[:, NP:, :]
+    final_ligand_pos = x[:, NP:, :]
+    y = final_ligand_h @ p["v_inference_0"]["kernel"] + p["v_inference_0"]["bias"]
+    y = shifted_softplus(y)
+    final_ligand_v = y @ p["v_inference_2"]["kernel"] + p["v_inference_2"]["bias"]
+
+    return {
+        "pred_ligand_pos": final_ligand_pos,
+        "pred_ligand_v": final_ligand_v,
+        "final_ligand_h": final_ligand_h,
+    }

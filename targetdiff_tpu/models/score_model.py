@@ -294,9 +294,13 @@ class DiffusionModel:
     # -- training loss ------------------------------------------------------
 
     def get_diffusion_loss(
-        self, params, key: jax.Array, batch: ComplexBatch, time_step=None
+        self, params, key: jax.Array, batch: ComplexBatch, time_step=None,
+        impl: str = "xla",
     ) -> Dict[str, jnp.ndarray]:
-        """(reference: models/molopt_score_model.py:485-563)."""
+        """(reference: models/molopt_score_model.py:485-563).
+
+        impl='fast' runs the denoiser layers as Pallas kernels with
+        hand-written Pallas backwards (training fast path)."""
         B = batch.num_graphs
         lmask = batch.ligand_mask
         protein_pos, ligand_pos, _ = D.center_pos_protein(
@@ -317,9 +321,18 @@ class DiffusionModel:
             self.v_sched, key_v, log_ligand_v0, time_step, self.num_classes
         )
 
-        preds = self.apply(
-            params, cbatch, ligand_pos_perturbed, ligand_v_perturbed, time_step
-        )
+        if impl == "fast":
+            from .fast_forward import fast_train_forward
+
+            interpret = jax.default_backend() not in ("tpu", "axon")
+            preds = fast_train_forward(
+                self.config, params, cbatch, ligand_pos_perturbed,
+                ligand_v_perturbed, self.num_classes, interpret=interpret,
+            )
+        else:
+            preds = self.apply(
+                params, cbatch, ligand_pos_perturbed, ligand_v_perturbed, time_step
+            )
         pred_ligand_pos, pred_ligand_v = preds["pred_ligand_pos"], preds["pred_ligand_v"]
         pred_pos_noise = pred_ligand_pos - ligand_pos_perturbed
 

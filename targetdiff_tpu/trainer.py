@@ -47,6 +47,7 @@ def create_train_state(model: DiffusionModel, optimizer, key, example_batch) -> 
 def make_train_step(
     model: DiffusionModel, optimizer, pos_noise_std: float = 0.0, mesh=None,
     time_sampling: str = "symmetric",  # 'symmetric' | 'importance'
+    impl: str = "xla",  # 'xla' | 'fast' (Pallas layers with Pallas backwards)
 ):
     """Returns train_step(state, batch, key) -> (state, metrics), jitted.
 
@@ -73,7 +74,9 @@ def make_train_step(
             t = None
 
         def loss_fn(params):
-            out = model.get_diffusion_loss(params, key_loss, batch, time_step=t)
+            out = model.get_diffusion_loss(
+                params, key_loss, batch, time_step=t, impl=impl
+            )
             return out["loss"], out
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

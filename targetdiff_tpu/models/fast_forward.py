@@ -3,8 +3,10 @@
 Pure function over the SAME parameter pytree produced by
 `ScorePosNet.init` (models/score_model.py) — so checkpoints are shared with
 the XLA path — but executing each attention layer with the fused Pallas
-kernels (ops/pallas/edge_layer.py). Used for the inference paths (sampling,
-likelihood, embedding export); training takes the differentiable XLA path.
+kernels (ops/pallas/edge_layer.py). `fast_forward` serves the inference
+paths (sampling, likelihood, embedding export); `fast_train_forward` is the
+DIFFERENTIABLE variant whose layers carry hand-written Pallas backwards
+(ops/pallas/edge_layer_vjp.py) for the training fast path.
 
 Supports the released TargetDiff architecture
 (reference: configs/training.yml:9-42): model_type=uni_o2, cutoff_mode=knn,

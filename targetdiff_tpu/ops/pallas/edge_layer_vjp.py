@@ -373,7 +373,7 @@ def _h2x_bwd_kernel(
 
     # ---- backward: g = d x_out [TN, 3] ----
     g = g_ref[...].astype(jnp.float32)
-    mlig = mlig_ref[rows]  # [TN, 1]
+    mlig = mlig_ref[...]  # [TN, 1] — the block IS the tile (spec (1, TN, 1))
     # x_out = x + mlig * sum_K (s * rel)
     dx_direct = g  # identity path for all rows
     gd = g * mlig  # delta path only where ligand

@@ -96,7 +96,7 @@ def main():
 
 
 def _bench_train(model, b, n_steps: int = 20):
-    """Train-step throughput (batch 4, bf16, reference train config) as a
+    """Train-step throughput (batch 16, Pallas fwd+bwd kernels) as a
     secondary metric; returns steps/sec or None if it fails."""
     import jax
     import jax.numpy as jnp
@@ -106,13 +106,14 @@ def _bench_train(model, b, n_steps: int = 20):
     from targetdiff_tpu.utils.train import get_optimizer
 
     try:
-        tb = jax.tree_util.tree_map(lambda x: x[:4], b)
+        tb = jax.tree_util.tree_map(lambda x: x[:16], b)
         opt = get_optimizer(
             Config(dict(type="adam", lr=5e-4, weight_decay=0, beta1=0.95,
                         beta2=0.999, max_grad_norm=8.0))
         )
         state = create_train_state(model, opt, jax.random.PRNGKey(0), tb)
-        step_fn = make_train_step(model, opt, pos_noise_std=0.1)
+        # training fast path: Pallas layers with hand-written Pallas backwards
+        step_fn = make_train_step(model, opt, pos_noise_std=0.1, impl="fast")
         key = jax.random.PRNGKey(2)
         state, metrics = step_fn(state, tb, key)  # compile
         np.asarray(metrics["loss"])

@@ -1,0 +1,41 @@
+"""Train-step throughput: python tools/trainbench.py [batch] [xla|fast].
+
+Measures one jitted optimizer step (flagship config, 330-atom pockets) with
+a true device fetch per rep. fast = Pallas layers with Pallas backwards
+(ops/pallas/edge_layer_vjp.py). One TPU process at a time.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np, jax, jax.numpy as jnp
+import targetdiff_tpu
+from __graft_entry__ import _flagship
+from targetdiff_tpu.config import Config
+from targetdiff_tpu.trainer import create_train_state, make_train_step
+from targetdiff_tpu.utils.train import get_optimizer
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+impl = sys.argv[2] if len(sys.argv) > 2 else "xla"
+model, b = _flagship(num_timesteps=1000, max_protein=384, max_ligand=32, batch=B)
+rng = np.random.default_rng(0)
+pmask = np.zeros((B, 384), bool); pmask[:, :330] = True
+lmask = np.arange(32)[None, :] < rng.integers(18, 33, size=(B,))[:, None]
+b = b._replace(protein_mask=jnp.asarray(pmask), ligand_mask=jnp.asarray(lmask))
+opt = get_optimizer(Config(dict(type="adam", lr=1e-3, weight_decay=0.0,
+                                beta1=0.95, beta2=0.999, max_grad_norm=8.0)))
+state = create_train_state(model, opt, jax.random.PRNGKey(0), b)
+step = make_train_step(model, opt, pos_noise_std=0.1, impl=impl)
+t0 = time.time()
+state, m = step(state, b, jax.random.PRNGKey(1))
+np.asarray(m["loss"])
+print(f"compile+first: {time.time()-t0:.1f}s  B={B} impl={impl}")
+times = []
+for i in range(10):
+    t0 = time.time()
+    state, m = step(state, b, jax.random.fold_in(jax.random.PRNGKey(2), i))
+    np.asarray(m["loss"])
+    times.append(time.time() - t0)
+print(f"train step B={B} impl={impl}: med {np.median(times)*1e3:.1f} ms  min {min(times)*1e3:.1f}  loss={float(m['loss']):.3f}")

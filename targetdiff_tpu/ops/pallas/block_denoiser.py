@@ -364,10 +364,14 @@ def block_denoiser(
 ):
     B, N, H = h.shape
     K = idx.shape[-1]
+    # largest 8-aligned divisor of N at most `tile`; whole-N fallback for
+    # small/unaligned N (interpret-mode tests) — the old descending loop
+    # never terminated for N % 8 != 0
     TI = min(tile, N)
-    while N % TI or TI % 8:
+    while TI > 8 and (N % TI or TI % 8):
         TI -= 8
-    assert TI >= 8, (N, tile)
+    if N % TI:
+        TI = N
     R = offsets.shape[-1]
 
     NLIG = n_ligand

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +41,6 @@ from .edge_layer import (
     _onehot_from_idx,
     _params_2d,
     _pick_tile,
-    _regroup,
     h2x_attention_layer,
     x2h_attention_layer,
 )

@@ -23,6 +23,27 @@ import time
 import numpy as np
 
 BASELINE_MOL_PER_SEC = 0.2  # generous estimate of reference A100 throughput
+PEAK_BF16_TFLOPS = 197.0  # TPU v5e per-chip bf16 peak
+
+
+def analytic_step_tflops(batch, NP=384, NL=32, H=128, K=32, L=9, R=20):
+    """Analytic model FLOPs for ONE denoiser step of the whole batch, at the
+    padded compute shapes. Counts the math any implementation must do
+    (node folds, q MLPs, per-edge MLPs, attention); the one-hot gather
+    matmuls are an implementation artifact and are excluded, so mfu measures
+    honest progress toward speed-of-light (VERDICT r2 next #8)."""
+    N = NP + NL
+    NK = N * K
+    ER = 4 + 4 * R  # edge-feature first-layer width
+    per_pass = (
+        4 * 2 * N * H * H  # k/v node folds (w1i, w1j)
+        + 2 * 2 * N * H * H  # q MLP (2 layers)
+        + 2 * NK * ER * (2 * H)  # edge-feature part of k/v first layers
+        + 2 * 2 * NK * H * H  # k/v second matmuls
+        + 4 * NK * H  # attention logits + weighted aggregation
+    )
+    ew = 2 * N * K * R * H * 2  # global edge-weight MLP, once per block
+    return batch * (2 * L * per_pass + ew) / 1e12
 
 
 def main():
@@ -81,6 +102,8 @@ def main():
     mol_per_sec = batch / dt
     n_chips = 1  # single-chip benchmark; sampling scales linearly over dp
     value = mol_per_sec / n_chips
+    step_tflops = analytic_step_tflops(batch)
+    step_time = dt / num_steps
     print(
         json.dumps(
             {
@@ -90,6 +113,9 @@ def main():
                 "vs_baseline": round(value / BASELINE_MOL_PER_SEC, 2),
                 "rep_spread": round(spread, 3),
                 "train_steps_per_sec": train_sps,
+                "tflops_per_step": round(step_tflops, 3),
+                "achieved_tflops": round(step_tflops / step_time, 1),
+                "mfu": round(step_tflops / step_time / PEAK_BF16_TFLOPS, 4),
             }
         )
     )

@@ -60,7 +60,12 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=100)
     ap.add_argument("--max_protein", type=int, default=640)
     ap.add_argument("--max_ligand", type=int, default=64)
-    ap.add_argument("--impl", default="xla", choices=["xla", "fast"])
+    ap.add_argument(
+        "--impl", default="auto", choices=["auto", "xla", "fast"],
+        help="auto: fused Pallas kernels on TPU when the config supports "
+        "them, XLA otherwise; fast: fused kernels (falls back to xla with a "
+        "warning on unsupported configs)",
+    )
     ap.add_argument(
         "--sharded", action="store_true",
         help="with --all: sample every pocket through the mesh-dp sharded, "
@@ -92,6 +97,7 @@ def main(argv=None):
             {"protein_pos": d["protein_pos"], "protein_feat": d["protein_atom_feature"]}
             for d in datas
         ]
+        ref_sizes = [len(d["ligand_pos"]) for d in datas]
         t0 = time.time()
         results = sample_testset_sharded(
             model, params, pockets,
@@ -102,6 +108,9 @@ def main(argv=None):
             max_protein=args.max_protein,
             max_ligand=args.max_ligand,
             chunk_rows=args.chunk_rows,
+            impl=args.impl,
+            ref_sizes=ref_sizes,
+            rng=np.random.default_rng(config.sample.seed),
         )
         elapsed = time.time() - t0
         for data_id, data, pocket, result in zip(ids, datas, pockets, results):
@@ -113,7 +122,9 @@ def main(argv=None):
                 },
                 "pred_ligand_pos": result["pos"],
                 "pred_ligand_v": result["v"],
-                "time": [elapsed / max(len(ids), 1)],
+                # measured device time attributed to this pocket's rows
+                # (was: wall-clock divided evenly across pockets)
+                "time": [result["time"]],
                 "ligand_atom_mode": train_config.data.transform.ligand_atom_mode,
             }
             out_path = os.path.join(args.result_path, f"result_{data_id}.pkl")
@@ -149,6 +160,8 @@ def main(argv=None):
             max_protein=args.max_protein,
             max_ligand=args.max_ligand,
             return_traj=False,
+            impl=args.impl,
+            rng=np.random.default_rng(config.sample.seed + data_id),
         )
         out = {
             "data": {k: np.asarray(v) for k, v in pocket.items()}

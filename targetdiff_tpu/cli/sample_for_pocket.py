@@ -14,6 +14,7 @@ import argparse
 import os
 
 import jax
+import numpy as np
 
 from ..chem.pdb import PDBProtein
 from ..chem.reconstruct import MolReconsError, reconstruct_from_generated
@@ -48,7 +49,10 @@ def main(argv=None):
     ap.add_argument("--result_path", default="./outputs_pdb")
     ap.add_argument("--max_protein", type=int, default=640)
     ap.add_argument("--max_ligand", type=int, default=64)
-    ap.add_argument("--impl", default="xla", choices=["xla", "fast"])
+    ap.add_argument(
+        "--impl", default="auto", choices=["auto", "xla", "fast"],
+        help="auto: fused Pallas kernels on TPU when supported, else XLA",
+    )
     args = ap.parse_args(argv)
 
     config = load_config(args.config)
@@ -73,6 +77,8 @@ def main(argv=None):
         sample_num_atoms=config.sample.get("sample_num_atoms", "prior"),
         max_protein=args.max_protein,
         max_ligand=args.max_ligand,
+        impl=args.impl,
+        rng=np.random.default_rng(config.sample.seed),
     )
 
     sdf_path = os.path.join(args.result_path, "samples.sdf")

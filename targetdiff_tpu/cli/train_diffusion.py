@@ -188,7 +188,10 @@ def main(argv=None):
                 writer.add_scalar("train/lr", lr, it)
 
             if it % config.train.val_freq == 0:
-                val_loss = validate(model, eval_step, state.params, val_loader, key, logger, writer, it)
+                val_loss = validate(
+                    model, eval_step, state.params, val_loader, key, logger,
+                    writer, it, mesh=mesh,
+                )
                 new_lr = scheduler.step(val_loss, train_utils.get_learning_rate(state.opt_state))
                 train_utils.set_learning_rate(state.opt_state, new_lr)
                 if val_loss < best_val:
@@ -211,14 +214,34 @@ def main(argv=None):
         )
 
 
-def validate(model, eval_step, params, val_loader, key, logger, writer, it, num_t=10):
+def _gather_to_host(arr) -> np.ndarray:
+    """Full global value of a (possibly process-spanning) array on every host."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+    return np.asarray(arr)
+
+
+def validate(model, eval_step, params, val_loader, key, logger, writer, it,
+             num_t=10, mesh=None):
     """Fixed-timestep validation + atom-type AUROC
-    (reference: scripts/train_diffusion.py:153-208)."""
+    (reference: scripts/train_diffusion.py:153-208).
+
+    With a mesh, val batches are sharded over dp exactly like training
+    batches, so the loss is computed with global semantics and every
+    process sees the identical val_loss — keeping multi-host LR-scheduler
+    and best-val decisions in sync (ADVICE r2)."""
     T = model.num_timesteps
     ts = np.linspace(0, T - 1, num_t).astype(np.int32)
     tot, tot_pos, tot_v, n = 0.0, 0.0, 0.0, 0
     ys, ps, ms = [], [], []
     for batch in val_loader:
+        host_batch = batch
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            batch = shard_batch(batch, mesh)
         for t_scalar in ts:
             out = eval_step(params, batch, int(t_scalar), key)
             B = batch.num_graphs
@@ -226,9 +249,9 @@ def validate(model, eval_step, params, val_loader, key, logger, writer, it, num_
             tot_pos += float(out["loss_pos"]) * B
             tot_v += float(out["loss_v"]) * B
             n += B
-        ys.append(np.asarray(batch.ligand_v))
-        ps.append(jax.nn.softmax(np.asarray(out["pred_v"]), axis=-1))
-        ms.append(np.asarray(batch.ligand_mask))
+        ys.append(np.asarray(host_batch.ligand_v))
+        ps.append(jax.nn.softmax(_gather_to_host(out["pred_v"]), axis=-1))
+        ms.append(np.asarray(host_batch.ligand_mask))
     val_loss = tot / max(n, 1)
     auroc = atom_auroc(
         np.concatenate([y.ravel() for y in ys]),

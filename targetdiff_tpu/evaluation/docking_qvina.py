@@ -53,13 +53,18 @@ class QVinaDockingTask(BaseDockingTask):
         if use_uff:
             # UFF pre-optimization, matching the reference protocol
             # (docking_qvina.py:117-119): relax generated geometry before
-            # PDBQT conversion so scores are comparable.
+            # PDBQT conversion so scores are comparable. The reference
+            # relaxes an AddHs COPY — relax_for_docking mutates positions in
+            # place, so deep-copy first to keep the caller's generated pose
+            # intact (ADVICE r2).
+            import copy
+
             from ..chem.uff import relax_for_docking
 
             try:
-                mol = relax_for_docking(mol, use_uff=True)
+                mol = relax_for_docking(copy.deepcopy(mol), use_uff=True)
             except Exception:
-                pass
+                mol = self.mol
         self.mol = mol
         self.protein_path = protein_path
         self.tmp_dir = tmp_dir or tempfile.mkdtemp(prefix="qvina_")

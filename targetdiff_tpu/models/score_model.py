@@ -376,11 +376,16 @@ class DiffusionModel:
     # -- likelihood (ELBO terms) -------------------------------------------
 
     def likelihood_estimation(
-        self, params, key: jax.Array, batch: ComplexBatch, time_step: jnp.ndarray
+        self, params, key: jax.Array, batch: ComplexBatch, time_step: jnp.ndarray,
+        impl: str = "xla",
     ):
         """Per-timestep KL terms; `time_step == num_timesteps` selects the
         prior terms (reference: models/molopt_score_model.py:566-617).
-        Returns (kl_pos [B], kl_v [B])."""
+        Returns (kl_pos [B], kl_v [B]).
+
+        impl='fast' routes the denoiser through the fused megakernel in f32
+        (the schedule/KL math is identical; parity tested in
+        tests/test_likelihood_fast.py)."""
         lmask = batch.ligand_mask
         protein_pos, ligand_pos, _ = D.center_pos_protein(
             batch.protein_pos, batch.ligand_pos, batch.protein_mask, "protein"
@@ -399,7 +404,13 @@ class DiffusionModel:
             ligand_v_perturbed, log_ligand_vt = D.q_v_sample(
                 self.v_sched, key_v, log_ligand_v0, t, self.num_classes
             )
-            preds = self.apply(params, cbatch, ligand_pos_perturbed, ligand_v_perturbed, t)
+            if impl == "fast":
+                preds = self.fast_apply(
+                    params, cbatch, ligand_pos_perturbed, ligand_v_perturbed, t,
+                    dtype=jnp.float32,
+                )
+            else:
+                preds = self.apply(params, cbatch, ligand_pos_perturbed, ligand_v_perturbed, t)
             if self.model_mean_type != "C0":
                 raise ValueError(self.model_mean_type)
             pos_model_mean = D.q_pos_posterior(
@@ -431,8 +442,11 @@ class DiffusionModel:
         (reference: models/molopt_score_model.py:619-631). impl='fast' runs
         the fused megakernel with the x-update masked off."""
         if impl == "fast":
+            # f32: embedding export must match the XLA path's precision (the
+            # bf16 default is for the sampling loop, not feature export)
             return self.fast_apply(
-                params, batch, batch.ligand_pos, batch.ligand_v, None, fix_x=True
+                params, batch, batch.ligand_pos, batch.ligand_v, None,
+                dtype=jnp.float32, fix_x=True,
             )
         return self.apply(
             params, batch, batch.ligand_pos, batch.ligand_v, None, fix_x=True

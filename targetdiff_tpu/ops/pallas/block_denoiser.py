@@ -351,6 +351,37 @@ def _block_kernel(
     xout_ref[0] = xbuf[last]
 
 
+def estimate_vmem_bytes(N: int, K: int, H: int = 128) -> int:
+    """Scratch VMEM the megakernel needs for one complex (dominated by the
+    [N*K, N] one-hot cache). Used to gate the 'mega' path before Mosaic
+    fails to allocate (ADVICE r2: hybrid-mode N=704/K=95 wants ~94 MB for
+    ocache alone)."""
+    NK = N * K
+    return (
+        2 * N * H * 2  # hbuf bf16
+        + 2 * N * 3 * 4  # xbuf f32
+        + N * K * 4  # ewbuf
+        + NK * 128 * 2  # ecache bf16
+        + NK * 8 * 4  # relc f32
+        + NK * N * 2  # ocache bf16
+        + NK * 128 * 2  # olcache bf16
+        + 128 * 16 * 4  # dlig
+        + N * 2 * H * 2  # nw bf16
+        + N * 2 * H * 4  # ni f32
+        + N * H * 4  # nq f32
+        + 88 * 2 * H * 2  # wkv
+    )
+
+
+# leave headroom under the 96 MB raised scoped-VMEM limit for inputs
+# (h/x/idx/etype blocks + stacked layer params) and compiler temporaries
+VMEM_SCRATCH_BUDGET = 72 * 1024 * 1024
+
+
+def block_denoiser_fits(N: int, K: int, H: int = 128) -> bool:
+    return estimate_vmem_bytes(N, K, H) <= VMEM_SCRATCH_BUDGET
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_layers", "n_heads", "coeff", "dtype", "interpret",
@@ -364,6 +395,14 @@ def block_denoiser(
 ):
     B, N, H = h.shape
     K = idx.shape[-1]
+    if not interpret and not block_denoiser_fits(N, K, H):
+        raise ValueError(
+            f"block_denoiser scratch VMEM estimate "
+            f"{estimate_vmem_bytes(N, K, H) >> 20} MB exceeds the "
+            f"{VMEM_SCRATCH_BUDGET >> 20} MB budget at N={N}, K={K} "
+            f"(the [N*K, N] one-hot cache dominates); use the per-layer "
+            f"'layers' mode for this shape"
+        )
     # largest 8-aligned divisor of N at most `tile`; whole-N fallback for
     # small/unaligned N (interpret-mode tests) — the old descending loop
     # never terminated for N % 8 != 0

@@ -90,13 +90,17 @@ def sample_diffusion_ligand(
     return_traj: bool = False,
     traj_stride: int = 1,
     rng: Optional[np.random.Generator] = None,
+    impl: str = "auto",
 ) -> Dict[str, Any]:
     """Generate `num_samples` molecules for one pocket. Returns numpy results
     un-padded per sample, mirroring the reference's output lists
     (reference: scripts/sample_diffusion.py:87-116)."""
+    from .models.fast_forward import resolve_impl
+
     max_protein = max_protein or model.max_protein
     max_ligand = max_ligand or model.max_ligand
     rng = rng or np.random.default_rng(0)
+    impl = resolve_impl(model.config, impl)
 
     ppos = np.asarray(pocket["protein_pos"], np.float32)
     pfeat = np.asarray(pocket["protein_feat"], np.float32)
@@ -120,7 +124,7 @@ def sample_diffusion_ligand(
         return model.sample_diffusion(
             p, k, b, ip, iv,
             num_steps=num_steps, center_pos_mode=center_pos_mode,
-            pos_only=pos_only, return_traj=return_traj,
+            pos_only=pos_only, return_traj=return_traj, impl=impl,
         )
 
     done = 0
@@ -161,11 +165,11 @@ def sample_diffusion_ligand(
 
         t1 = time.time()
         res = sampler(params, k_samp, batch, init_pos, init_v)
-        res.pos.block_until_ready()
-        time_list.append(time.time() - t1)
-
+        # np.asarray is the reliable device sync on remote-attached TPUs
+        # (block_until_ready can return before remote compute finishes)
         pos_np = np.asarray(res.pos, np.float64)
         v_np = np.asarray(res.v)
+        time_list.append(time.time() - t1)
         for i in range(n):
             s = int(sizes[i])
             all_pos.append(pos_np[i, :s])
@@ -201,6 +205,8 @@ def sample_testset_sharded(
     max_ligand: Optional[int] = None,
     rng: Optional[np.random.Generator] = None,
     chunk_rows: Optional[int] = None,
+    impl: str = "auto",
+    ref_sizes: Optional[List[int]] = None,
 ) -> List[Dict[str, Any]]:
     """Multi-pocket sampling with rows sharded over the mesh "dp" axis — the
     mesh-native replacement for the reference's shell-script GPU sharding
@@ -215,13 +221,21 @@ def sample_testset_sharded(
     is chunk_rows x max_protein activations regardless of the test-set size
     (100 pockets x 100 samples runs in 100-row slices).
 
-    Returns one result dict per pocket ({'pos': [...], 'v': [...]}).
+    Returns one result dict per pocket ({'pos': [...], 'v': [...],
+    'time': measured device seconds attributed to this pocket's rows}).
     """
+    from .models.fast_forward import resolve_impl
     from .parallel.mesh import make_mesh, shard_batch
 
     max_protein = max_protein or model.max_protein
     max_ligand = max_ligand or model.max_ligand
     rng = rng or np.random.default_rng(0)
+    impl = resolve_impl(model.config, impl)
+    if sample_num_atoms == "ref" and ref_sizes is None:
+        raise ValueError(
+            "sample_num_atoms='ref' needs ref_sizes (one reference ligand "
+            "size per pocket) in the sharded path"
+        )
     if mesh is None and len(jax.devices()) > 1:
         mesh = make_mesh()
     n_dp = mesh.shape["dp"] if mesh is not None else 1
@@ -248,7 +262,8 @@ def sample_testset_sharded(
         bank_feat[pi, : len(pp)] = np.asarray(pocket["protein_feat"], np.float32)
         bank_len[pi] = len(pp)
         row_sizes[pi * S : (pi + 1) * S] = sample_ligand_sizes(
-            pp, S, sample_num_atoms, max_ligand=max_ligand, rng=rng
+            pp, S, sample_num_atoms, max_ligand=max_ligand, rng=rng,
+            ref_size=None if ref_sizes is None else ref_sizes[pi],
         )
     row_pocket = np.repeat(np.arange(P, dtype=np.int32), S)
     bank_pos_d = jnp.asarray(bank_pos)
@@ -262,6 +277,7 @@ def sample_testset_sharded(
 
     pos_out: List[Optional[np.ndarray]] = [None] * rows
     v_out: List[Optional[np.ndarray]] = [None] * rows
+    pocket_time = np.zeros((P,), np.float64)
     for start in range(0, rows, chunk_rows):
         idx = np.arange(start, min(start + chunk_rows, rows))
         pad = (-len(idx)) % n_dp
@@ -284,11 +300,19 @@ def sample_testset_sharded(
 
         key, k_init, k_samp = jax.random.split(key, 3)
         init_pos, init_v = init_ligand_state(k_init, batch, model.num_classes)
+        t1 = time.time()
         res = model.sample_diffusion(
-            params, k_samp, batch, init_pos, init_v, num_steps=num_steps
+            params, k_samp, batch, init_pos, init_v, num_steps=num_steps,
+            impl=impl,
         )
+        # np.asarray is the reliable device sync on remote-attached TPUs
         pos_np = np.asarray(res.pos, np.float64)
         v_np = np.asarray(res.v)
+        chunk_t = time.time() - t1
+        # honest per-pocket timing: attribute the measured chunk time to
+        # pockets by their share of the chunk's real (non-pad) rows
+        for pi2, cnt in zip(*np.unique(row_pocket[idx], return_counts=True)):
+            pocket_time[pi2] += chunk_t * cnt / len(idx)
         for ci, r in enumerate(idx):
             s = int(row_sizes[r])
             pos_out[r] = pos_np[ci, :s]
@@ -296,7 +320,7 @@ def sample_testset_sharded(
 
     out = []
     for pi in range(P):
-        entry = {"pos": [], "v": []}
+        entry = {"pos": [], "v": [], "time": float(pocket_time[pi])}
         for si in range(S):
             r = pi * S + si
             entry["pos"].append(pos_out[r])

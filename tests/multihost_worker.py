@@ -87,6 +87,14 @@ def main(pid: int, port: int) -> None:
     state, metrics = train_step(state, gbatch, jax.random.PRNGKey(7))
     print(f"LOSS={float(metrics['loss']):.10f}", flush=True)
 
+    # validation step over the same mesh: every process must see the
+    # identical val loss (keeps LR scheduler / best-val decisions in sync)
+    from targetdiff_tpu.trainer import make_eval_step
+
+    eval_step = make_eval_step(model)
+    out = eval_step(state.params, gbatch, 5, jax.random.PRNGKey(11))
+    print(f"VAL={float(out['loss']):.10f}", flush=True)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]), int(sys.argv[2]))

@@ -56,3 +56,12 @@ def test_two_process_train_step_matches_single_process():
     l0, l1, lr = _loss(out0), _loss(out1), _loss(outr)
     assert l0 == pytest.approx(l1, abs=1e-9)
     assert l0 == pytest.approx(lr, rel=1e-5)
+
+    def _val(out):
+        m = re.search(r"VAL=([-\d.]+)", out)
+        assert m, f"no VAL in output:\n{out[-2000:]}"
+        return float(m.group(1))
+
+    v0, v1, vr = _val(out0), _val(out1), _val(outr)
+    assert v0 == pytest.approx(v1, abs=1e-9)
+    assert v0 == pytest.approx(vr, rel=1e-5)

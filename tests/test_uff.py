@@ -96,3 +96,5 @@ def test_qvina_task_gates_uff():
     assert np.array_equal(task.mol.positions(), before)
     task2 = QVinaDockingTask(mol, protein_path="/nonexistent.pdb", use_uff=True)
     assert not np.array_equal(task2.mol.positions(), before)
+    # the relaxation must not mutate the caller's generated pose (ADVICE r2)
+    assert np.array_equal(mol.positions(), before)

@@ -27,6 +27,28 @@ def to_rdkit(mol: Molecule):
     return _Chem.MolFromMolBlock(block, sanitize=True)
 
 
+def from_rdkit(rd) -> Molecule:
+    """rdkit Mol -> chem.Molecule (positions from conformer 0 when present)."""
+    if not HAVE_RDKIT or rd is None:
+        raise ValueError("from_rdkit needs RDKit and a non-None mol")
+    mol = Molecule()
+    conf = rd.GetConformer(0) if rd.GetNumConformers() else None
+    for a in rd.GetAtoms():
+        pos = None
+        if conf is not None:
+            p = conf.GetAtomPosition(a.GetIdx())
+            pos = (p.x, p.y, p.z)
+        i = mol.add_atom(a.GetAtomicNum(), pos=pos, formal_charge=a.GetFormalCharge())
+        mol.atoms[i].aromatic = a.GetIsAromatic()
+    for b in rd.GetBonds():
+        bt = b.GetBondType()
+        aromatic = b.GetIsAromatic() or str(bt) == "AROMATIC"
+        order = {"SINGLE": 1, "DOUBLE": 2, "TRIPLE": 3}.get(str(bt), 1)
+        mol.add_bond(b.GetBeginAtomIdx(), b.GetEndAtomIdx(), order=order, aromatic=aromatic)
+    mol.perceive_aromaticity()
+    return mol
+
+
 def canonical_smiles(mol: Molecule) -> str:
     """RDKit-canonical SMILES when available, else the native writer."""
     if HAVE_RDKIT:

@@ -92,9 +92,14 @@ def remove_hydrogens(mol: Molecule) -> Molecule:
 def parse_sdf_file(path: str) -> Dict[str, np.ndarray]:
     """Featurized ligand dict with the reference's key contract
     (reference: utils/data.py:213-284)."""
+    mol = read_sdf(path, first_only=True)
+    return mol_to_ligand_dict(mol)
+
+
+def mol_to_ligand_dict(mol: Molecule) -> Dict[str, np.ndarray]:
+    """Featurized ligand dict (shared by the SDF and MOL2 parsers)."""
     from .perception import atom_family_matrix, hybridization_labels
 
-    mol = read_sdf(path, first_only=True)
     mol = remove_hydrogens(mol)
     n = mol.num_atoms
 

@@ -11,10 +11,9 @@ import numpy as np
 from ..data.datasets import get_dataset
 from ..data.transforms import Compose
 from ..data.transforms_prop import FeaturizeLigandAtomProp, FeaturizeProteinAtom
-from ..models.prop.prop_model import PropPredNet
 from ..utils.checkpoint import load_checkpoint
 from ..utils.misc import get_logger
-from ..utils.misc_prop import collate_prop, get_eval_scores
+from ..utils.misc_prop import collate_prop, get_eval_scores, get_prop_model
 
 
 def main(argv=None):
@@ -35,16 +34,24 @@ def main(argv=None):
     _, subsets = get_dataset(config.data, transform=transform)
     test_set = subsets["test"]
 
-    model = PropPredNet(config=dict(config.model), output_dim=3)
+    model = get_prop_model(config.model)
+    enc_ft = (
+        config.model.get("enc_feature_type")
+        if config.model.encoder.name == "egnn_enc"
+        else None
+    )
     samples = []
     for i in range(len(test_set)):
         try:
             s = test_set[i]
         except Exception:
             continue
+        if enc_ft is not None and "final_h" not in s:
+            continue
         if len(s["protein_pos"]) <= args.max_protein and len(s["ligand_pos"]) <= args.max_ligand:
             samples.append(s)
-    example = collate_prop(samples[: args.batch_size], args.max_protein, args.max_ligand)
+    example = collate_prop(samples[: args.batch_size], args.max_protein,
+                           args.max_ligand, enc_feature_type=enc_ft)
     template = model.init(jax.random.PRNGKey(0), example)
     params = load_checkpoint(args.ckpt, params_template=template)["params"]
 
@@ -52,7 +59,8 @@ def main(argv=None):
     ys, ps, kinds = [], [], []
     for i in range(0, len(samples), args.batch_size):
         chunk = samples[i : i + args.batch_size]
-        batch = collate_prop(chunk, args.max_protein, args.max_ligand)
+        batch = collate_prop(chunk, args.max_protein, args.max_ligand,
+                             enc_feature_type=enc_ft)
         pred = predict(params, batch)
         ys.append(np.asarray(batch.y))
         ps.append(np.asarray(pred))

@@ -137,16 +137,28 @@ def main(argv=None):
         )
         emb = model.fetch_embedding(params, batch_c, impl=impl)
         emb_h = np.asarray(emb["final_ligand_h"])
+        emb_full = np.asarray(emb["final_h"])  # [C, NP+NL, H] composed order
         emb_v = np.asarray(emb["pred_ligand_v"])
         lmask = np.asarray(batch_c.ligand_mask)
+        pmask = np.asarray(batch_c.protein_mask)
+        NPpad = pmask.shape[1]
         for bi, (di, d) in enumerate(batch_items):
             nl = int(lmask[bi].sum())
+            npr = int(pmask[bi].sum())
+            # un-pad the composed node features: real protein rows, then the
+            # ligand rows at the padded-protein tail (reference exports
+            # final_h over the full protein+ligand node set,
+            # likelihood_est_diffusion.py:102-108)
+            final_h = np.concatenate(
+                [emb_full[bi, :npr], emb_full[bi, NPpad : NPpad + nl]], axis=0
+            )
             out.append({
                 "ligand_filename": d.get("ligand_filename"),
                 "protein_filename": d.get("protein_filename"),
                 "nll": float(nll[bi]),
                 "kl_pos": kl_pos[bi],
                 "kl_v": kl_v[bi],
+                "final_h": final_h,
                 "final_ligand_h": emb_h[bi, :nl],
                 "pred_ligand_v": np.asarray(
                     jax.nn.softmax(emb_v[bi, :nl], axis=-1)

@@ -20,11 +20,11 @@ from ..config import load_config
 from ..data.datasets import get_dataset
 from ..data.transforms import Compose
 from ..data.transforms_prop import FeaturizeLigandAtomProp, FeaturizeProteinAtom
-from ..models.prop.prop_model import PropPredNet, prop_loss_fn
+from ..models.prop.prop_model import prop_loss_fn
 from ..utils import train as train_utils
 from ..utils.checkpoint import save_checkpoint
 from ..utils.misc import count_parameters, get_logger, get_new_log_dir, seed_all
-from ..utils.misc_prop import collate_prop, get_eval_scores
+from ..utils.misc_prop import collate_prop, get_eval_scores, get_prop_model
 
 
 def main(argv=None):
@@ -47,9 +47,18 @@ def main(argv=None):
     train_set, val_set = subsets["train"], subsets["test"]
     logger.info(f"train {len(train_set)} val {len(val_set)}")
 
-    model = PropPredNet(config=dict(config.model), output_dim=3)
+    # 'egnn_enc' encoder selects the diffusion-feature-augmented variant
+    # (reference: configs/prop/pdbbind_general_egnn_enc_final_h.yml)
+    model = get_prop_model(config.model)
+    enc_ft = (
+        config.model.get("enc_feature_type")
+        if config.model.encoder.name == "egnn_enc"
+        else None
+    )
+    n_missing_emb = 0
 
     def batches(dataset, bs, shuffle, seed=0):
+        nonlocal n_missing_emb
         order = np.arange(len(dataset))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
@@ -62,9 +71,13 @@ def main(argv=None):
             if (len(s["protein_pos"]) > args.max_protein
                     or len(s["ligand_pos"]) > args.max_ligand):
                 continue
+            if enc_ft is not None and "final_h" not in s:
+                n_missing_emb += 1  # complex absent from the emb export
+                continue
             buf.append(s)
             if len(buf) == bs:
-                yield collate_prop(buf, args.max_protein, args.max_ligand)
+                yield collate_prop(buf, args.max_protein, args.max_ligand,
+                                   enc_feature_type=enc_ft)
                 buf = []
 
     example = next(batches(train_set, config.train.batch_size, False))
@@ -117,6 +130,8 @@ def main(argv=None):
                 logger.info(f"[val {kind_name}] " + " ".join(f"{a} {b:.3f}" for a, b in s.items()))
         val_loss = scores["rmse"]
         logger.info(f"[val] epoch {epoch} " + " ".join(f"{a} {b:.4f}" for a, b in scores.items()))
+        if enc_ft is not None and n_missing_emb and epoch == 0:
+            logger.info(f"skipped {n_missing_emb} complexes without emb features")
         new_lr = scheduler.step(val_loss, train_utils.get_learning_rate(opt_state))
         train_utils.set_learning_rate(opt_state, new_lr)
         if val_loss < best_val:

@@ -76,54 +76,78 @@ def extract_layer_params(block: Dict, hidden_dim: int, num_r_gaussian: int):
 
 def extract_block_params(rp: Dict, num_layers: int, hidden: int, num_r_gaussian: int,
                          dtype=jnp.bfloat16):
-    """Stack per-layer flax params into the megakernel's [L, ...] layout."""
-    import numpy as np
+    """Stack per-layer flax params into the megakernel's [L, ...] layout,
+    merging each pass's k|v MLP pair along the output axis and reordering
+    the edge-feature rows to the kernel's [Wr (4R) | We (4)] lane layout
+    (so the in-kernel weight staging of v5 disappears)."""
+    er4 = 4  # edge-type one-hot rows
+    err = num_r_gaussian * 4  # rbf x edge-type rows
 
-    er = 4 + num_r_gaussian * 4
+    def split_w1(mp):
+        w1 = mp["lin_0"]["kernel"]
+        we = w1[:er4]
+        wr = w1[er4 : er4 + err]
+        w1i = w1[er4 + err : er4 + err + hidden]
+        w1j = w1[er4 + err + hidden :]
+        # rows reordered to ecache's [rbf-x-et | et] lane order
+        return jnp.concatenate([wr, we], axis=0), w1i, w1j
 
-    def stack_mlp_edge(name_mlp):
-        w1er, w1i, w1j, b1, lns, lnb, w2, b2 = [], [], [], [], [], [], [], []
+    def stack_edge_pair(k_name, v_name, q_name, sub):
+        w1er, w1j, w1iq, b1q, lns, lnb = [], [], [], [], [], []
+        w2k, b2k, w2v, b2v = [], [], [], []
         for l in range(num_layers):
-            sub = "x2h_0" if name_mlp.startswith("h") else "h2x_0"
-            mp = rp[f"block_{l}"][sub][f"{name_mlp}_func"]
-            w1 = mp["lin_0"]["kernel"]
-            w1er.append(w1[:er])
-            w1i.append(w1[er : er + hidden])
-            w1j.append(w1[er + hidden :])
-            b1.append(mp["lin_0"]["bias"][None])
-            lns.append(mp["norm_0"]["scale"][None])
-            lnb.append(mp["norm_0"]["bias"][None])
-            w2.append(mp["lin_1"]["kernel"])
-            b2.append(mp["lin_1"]["bias"][None])
+            mk = rp[f"block_{l}"][sub][f"{k_name}_func"]
+            mv = rp[f"block_{l}"][sub][f"{v_name}_func"]
+            mq = rp[f"block_{l}"][sub][f"{q_name}_func"]
+            ek, ik, jk = split_w1(mk)
+            ev, iv, jv = split_w1(mv)
+            w1er.append(jnp.concatenate([ek, ev], axis=1))
+            # destination-side h_i projections (k|v) + the query MLP's first
+            # layer, merged into one [H, 3H] stage dot
+            w1iq.append(jnp.concatenate([ik, iv, mq["lin_0"]["kernel"]], axis=1))
+            w1j.append(jnp.concatenate([jk, jv], axis=1))
+            b1q.append(jnp.concatenate(
+                [mk["lin_0"]["bias"], mv["lin_0"]["bias"],
+                 mq["lin_0"]["bias"]])[None])
+            # k|v LN affines stacked on the SUBLANE axis [2, H]: a lane-offset
+            # slice of a [1, 2H] vector cannot be broadcast by Mosaic
+            lns.append(jnp.stack(
+                [mk["norm_0"]["scale"], mv["norm_0"]["scale"]]))
+            lnb.append(jnp.stack(
+                [mk["norm_0"]["bias"], mv["norm_0"]["bias"]]))
+            w2k.append(mk["lin_1"]["kernel"])
+            b2k.append(mk["lin_1"]["bias"][None])
+            w2v.append(mv["lin_1"]["kernel"])
+            b2v.append(mv["lin_1"]["bias"][None])
         f32 = jnp.float32
         return (
-            jnp.stack(w1er).astype(dtype), jnp.stack(w1i).astype(dtype),
-            jnp.stack(w1j).astype(dtype), jnp.stack(b1).astype(f32),
+            jnp.stack(w1er).astype(dtype), jnp.stack(w1j).astype(dtype),
+            jnp.stack(w1iq).astype(dtype), jnp.stack(b1q).astype(f32),
             jnp.stack(lns).astype(f32), jnp.stack(lnb).astype(f32),
-            jnp.stack(w2).astype(dtype), jnp.stack(b2).astype(f32),
+            jnp.stack(w2k).astype(dtype), jnp.stack(b2k).astype(f32),
+            jnp.stack(w2v).astype(dtype), jnp.stack(b2v).astype(f32),
         )
 
-    def stack_mlp_node(name_mlp):
-        w1, b1, lns, lnb, w2, b2 = [], [], [], [], [], []
+    def stack_mlp_node_tail(name_mlp, sub):
+        """Query-MLP LN + second layer (first layer lives in *_w1iq)."""
+        lns, lnb, w2, b2 = [], [], [], []
         for l in range(num_layers):
-            sub = "x2h_0" if name_mlp.startswith("h") else "h2x_0"
             mp = rp[f"block_{l}"][sub][f"{name_mlp}_func"]
-            w1.append(mp["lin_0"]["kernel"])
-            b1.append(mp["lin_0"]["bias"][None])
             lns.append(mp["norm_0"]["scale"][None])
             lnb.append(mp["norm_0"]["bias"][None])
             w2.append(mp["lin_1"]["kernel"])
             b2.append(mp["lin_1"]["bias"][None])
         f32 = jnp.float32
         return (
-            jnp.stack(w1).astype(dtype), jnp.stack(b1).astype(f32),
             jnp.stack(lns).astype(f32), jnp.stack(lnb).astype(f32),
             jnp.stack(w2).astype(dtype), jnp.stack(b2).astype(f32),
         )
 
     bp = BlockParams(
-        *stack_mlp_edge("hk"), *stack_mlp_edge("hv"), *stack_mlp_node("hq"),
-        *stack_mlp_edge("xk"), *stack_mlp_edge("xv"), *stack_mlp_node("xq"),
+        *stack_edge_pair("hk", "hv", "hq", "x2h_0"),
+        *stack_mlp_node_tail("hq", "x2h_0"),
+        *stack_edge_pair("xk", "xv", "xq", "h2x_0"),
+        *stack_mlp_node_tail("xq", "h2x_0"),
     )
     ep = rp["edge_pred_layer"]
     ew = EwParams(
@@ -298,6 +322,19 @@ def fast_forward(
             nbh = G.Neighborhood(idx=idx_, mask=nmask_)
         else:
             nbh = G.knn_graph(x, node_mask, cfg.knn)
+
+        upd_mask = jnp.zeros_like(mask_ligand) if fix_x else mask_ligand
+        if mode == "mega":
+            # edge types + ligand-tail destination handling live INSIDE the
+            # megakernel (composed layout: ligand rows are the tail block)
+            h, x = block_denoiser(
+                h, x, nbh.idx, nbh.mask, upd_mask, offsets,
+                ew_p, block_p, num_layers=cfg.num_layers, n_heads=cfg.n_heads,
+                coeff=coeff, dtype=dtype, interpret=interpret,
+                n_ligand=NL,
+            )
+            continue
+
         src_lig = jnp.take_along_axis(
             jnp.broadcast_to(mask_ligand[:, None, :], nbh.idx.shape[:2] + (mask_ligand.shape[1],)),
             nbh.idx, axis=2,
@@ -307,16 +344,6 @@ def fast_forward(
             src_lig & dst_lig, 0, jnp.where(src_lig & ~dst_lig, 1,
                                             jnp.where(~src_lig & dst_lig, 2, 3))
         ).astype(jnp.int32)
-
-        upd_mask = jnp.zeros_like(mask_ligand) if fix_x else mask_ligand
-        if mode == "mega":
-            h, x = block_denoiser(
-                h, x, nbh.idx, nbh.mask, etype, upd_mask, offsets,
-                ew_p, block_p, num_layers=cfg.num_layers, n_heads=cfg.n_heads,
-                coeff=coeff, dtype=dtype, interpret=interpret,
-                n_ligand=NL,
-            )
-            continue
 
         # global edge weights from block-start distances
         # (reference: models/uni_transformer.py:312-318)
@@ -332,6 +359,7 @@ def fast_forward(
             x = h2x_attention_layer(
                 h, x, nbh.idx, nbh.mask, etype, e_w, upd_mask, offsets, ph,
                 n_heads=cfg.n_heads, coeff=coeff, dtype=dtype, interpret=interpret,
+                n_ligand=NL,
             )
 
     final_ligand_h = h[:, NP:, :].astype(jnp.float32)
@@ -436,7 +464,7 @@ def fast_train_forward(
             )
             x = h2x_layer_trainable(
                 h, x, nbh.idx, nbh.mask, etype, e_w, mask_ligand, offsets, ph,
-                cfg.n_heads, coeff, interpret,
+                cfg.n_heads, coeff, interpret, NL,
             )
 
     final_ligand_h = h[:, NP:, :]

@@ -1,28 +1,40 @@
-"""Whole-block fused denoiser megakernel (v5).
+"""Whole-block fused denoiser megakernel (v7).
 
 One pallas_call per UniTransformerO2 block runs ALL num_layers attention
 layers (x2h + h2x each) for one complex per grid step, entirely in VMEM
 (reference: models/uni_transformer.py:11-210; the reference launches ~40
 CUDA kernels per layer through PyG scatter/gather ops).
 
-Design — driven by measured VMEM-traffic accounting on v5e (the kernel is
-bandwidth-bound on [N*K, N]-sized one-hot reads at ~270 GB/s effective):
+Design — driven by measured phase ablations on v5e (round 3). The earlier
+"VMEM-read floor" model was re-measured and overturned: the [N*K, N]
+one-hot gather dots run at ~70% MXU efficiency and their cost scales with
+output lanes, i.e. the kernel is MXU-FLOP-bound, not read-bound. The
+structure that follows:
 
-  * grid = (B,): h [N,128], x [N,3], kNN edge arrays and ALL stacked layer
-    parameters are VMEM-resident; h/x ping-pong between two scratches.
-    Requires the raised scoped-VMEM limit (set on import in
-    targetdiff_tpu/__init__.py; the chip has >=96 MB usable).
-  * ocache [N*K, N] bf16: the gather one-hot is built ONCE per block and
-    reused by all L x 2 passes (v1 rebuilt it per tile-pass).
-  * gather folded into the edge MLPs: onehot @ [h@w1j_k | h@w1j_v], with
-    the node-level h@w1j done once per layer — per-edge h_j is never
-    materialized, and ONE one-hot read serves both the k and v MLPs.
-  * geometry updates are ligand-only: protein atoms never move during a
-    block, so rel' = rel + d_i - onehot_lig @ d_lig gathers just the
-    [n_ligand] delta rows through a 128-lane one-hot (50x smaller read
-    than a full [N*K, N] gather per layer).
-  * rel lives in an aligned [N*K, 8] f32 scratch (no hi/lo bf16 split, no
-    sub-vreg lane slicing).
+  * grid = (B,): h [N,128], x, kNN arrays and ALL stacked layer parameters
+    are VMEM-resident; h ping-pongs between two scratches, x lives in one
+    `xfull` scratch (needs the raised scoped-VMEM limit, set on import in
+    targetdiff_tpu/__init__.py).
+  * h2x runs on LIGAND-destination rows only: x updates are masked to
+    ligand atoms (reference models/uni_transformer.py:206) and ligand rows
+    sit at the tail of the composed layout, so the other (N-NLIG)*K h2x
+    edge computations are dead work (measured ~45% of v5's edge time).
+  * raw-h gather, shared between passes: hjc = onehot @ h gathers the raw
+    128-lane h once per layer (after x2h); both h2x(l) and x2h(l+1) consume
+    it through per-pass [128, 2H] weight projections. Half the gather
+    FLOPs of the folded 2H-lane form, and the per-layer node-fold staging
+    disappears.
+  * k|v parameter stacks are merged along the output axis OUTSIDE the
+    kernel (extract_block_params), so each pass runs one [*, 2H] dot where
+    v5 ran two [*, H] dots plus an in-kernel weight-staging copy.
+  * edge features live in ecache as [rbf x onehot(et,4) (80) | onehot(et,4)
+    (4) | 0...]: the et-dependent 80-lane replication mask is CACHED at
+    init (static per block), so the per-layer geometry refresh (regeo) is
+    just rbf -> one 4-way lane tile -> one multiply -> one 80-lane store.
+  * geometry updates are ligand-only: rel' = rel + d_i - onehot_lig @ d_lig
+    gathers just the [NLIG] delta rows through a 128-lane one-hot.
+  * edge types are derived IN KERNEL from the composed layout (ligand =
+    tail indices), eliminating the per-step XLA take_along_axis glue.
   * the global edge weights e_w (sigmoid MLP of block-start distances,
     reference models/uni_transformer.py:312-318) are computed once into a
     [N, K] scratch and reused by every layer.
@@ -45,46 +57,44 @@ NEG = -1e9
 
 
 class BlockParams(NamedTuple):
-    hk_w1er: jnp.ndarray
-    hk_w1i: jnp.ndarray
-    hk_w1j: jnp.ndarray
-    hk_b1: jnp.ndarray
-    hk_lns: jnp.ndarray
-    hk_lnb: jnp.ndarray
-    hk_w2: jnp.ndarray
-    hk_b2: jnp.ndarray
-    hv_w1er: jnp.ndarray
-    hv_w1i: jnp.ndarray
-    hv_w1j: jnp.ndarray
-    hv_b1: jnp.ndarray
-    hv_lns: jnp.ndarray
-    hv_lnb: jnp.ndarray
-    hv_w2: jnp.ndarray
-    hv_b2: jnp.ndarray
-    hq_w1: jnp.ndarray
-    hq_b1: jnp.ndarray
+    """Per-block stacked layer parameters, k|v merged along the output axis.
+
+    Shapes (L = num_layers, H = hidden):
+      *_w1er [L, 84, 2H]  edge-feature rows, reordered [Wr(80) | We(4)]
+      *_w1j  [L, H, 2H]   neighbor (gathered h_j) projection
+      *_w1iq [L, H, 3H]   destination h_i k|v projections + query first layer
+      *_b1q  [L, 1, 3H]
+      *_lns / *_lnb [L, 2, H]  LayerNorm affine, k|v stacked on sublanes
+      *_w2k  [L, H, H], *_b2k [L, 1, H]
+      h_w2v  [L, H, H], h_b2v [L, 1, H]     (x2h value head)
+      x_w2v  [L, H, 16], x_b2v [L, 1, 16]   (h2x per-head scalar head)
+      *q_*   query-MLP params (unchanged layout)
+    """
+
+    h_w1er: jnp.ndarray
+    h_w1j: jnp.ndarray
+    h_w1iq: jnp.ndarray
+    h_b1q: jnp.ndarray
+    h_lns: jnp.ndarray
+    h_lnb: jnp.ndarray
+    h_w2k: jnp.ndarray
+    h_b2k: jnp.ndarray
+    h_w2v: jnp.ndarray
+    h_b2v: jnp.ndarray
     hq_lns: jnp.ndarray
     hq_lnb: jnp.ndarray
     hq_w2: jnp.ndarray
     hq_b2: jnp.ndarray
-    xk_w1er: jnp.ndarray
-    xk_w1i: jnp.ndarray
-    xk_w1j: jnp.ndarray
-    xk_b1: jnp.ndarray
-    xk_lns: jnp.ndarray
-    xk_lnb: jnp.ndarray
-    xk_w2: jnp.ndarray
-    xk_b2: jnp.ndarray
-    xv_w1er: jnp.ndarray
-    xv_w1i: jnp.ndarray
-    xv_w1j: jnp.ndarray
-    xv_b1: jnp.ndarray
-    xv_lns: jnp.ndarray
-    xv_lnb: jnp.ndarray
-    xv_w2: jnp.ndarray
-    xv_b2: jnp.ndarray
-    xq_w1: jnp.ndarray
-    xq_b1: jnp.ndarray
+    x_w1er: jnp.ndarray
+    x_w1j: jnp.ndarray
+    x_w1iq: jnp.ndarray
+    x_b1q: jnp.ndarray
+    x_lns: jnp.ndarray
+    x_lnb: jnp.ndarray
+    x_w2k: jnp.ndarray
+    x_b2k: jnp.ndarray
+    x_w2v: jnp.ndarray
+    x_b2v: jnp.ndarray
     xq_lns: jnp.ndarray
     xq_lnb: jnp.ndarray
     xq_w2: jnp.ndarray
@@ -117,16 +127,22 @@ def _ln_relu(x, scale, bias, eps=1e-5, out_dtype=None):
 
 
 def _block_kernel(
-    h_ref, x_ref, idx_ref, nmask_ref, etype_ref, mlig_ref, offsets_ref,
+    h_ref, x_ref, idx_ref, nmask_ref, mlig_ref, offsets_ref,
     ewp: EwParams, bp: BlockParams,
     hout_ref, xout_ref,
-    hbuf, xbuf, ewbuf, ecache, relc, ocache, olcache, dlig, nw, ni, nq, wkv,
-    *, N, H, K, L, n_heads, coeff, dtype, TI, NLIG,
+    hbuf, xfull, dnode, ewbuf, ecache, e4rep, relc, ocache, olcache,
+    dlig, ni, nq,
+    *, N, H, K, L, n_heads, coeff, dtype, TI, NLIG, ablate=(),
 ):
     NK = N * K
     dh = H // n_heads
     T = N // TI
     TNK = TI * K
+    R = offsets_ref.shape[-1]
+    ER = 4 * R + 4  # [rbf x onehot(et,4) | onehot(et,4)] feature width
+    LK = NLIG * K  # h2x works on ONLY the ligand-destination tail edges
+    NPAD = N - NLIG  # ligand rows sit at the tail of the composed layout
+    TL0 = NPAD // TI  # first tile index containing ligand rows
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (H, n_heads), 0)
     headi = jax.lax.broadcasted_iota(jnp.int32, (H, n_heads), 1)
@@ -134,38 +150,52 @@ def _block_kernel(
     St = S.T.astype(jnp.float32)
 
     hbuf[0] = h_ref[0].astype(dtype)
-    xbuf[0] = x_ref[0].astype(jnp.float32)
+    xfull[:, :] = x_ref[0].astype(jnp.float32)
     # uninitialized lanes/rows of the ligand-delta staging buffer would feed
-    # 0 * garbage into the regeo dot — zero it once per complex
+    # 0 * garbage into the regeo dot — zero it once per complex; dnode's
+    # protein rows must stay zero (only ligand rows are ever written)
     dlig[:, :] = jnp.zeros((128, 16), jnp.float32)
+    dnode[:, :] = jnp.zeros((N, 8), jnp.float32)
 
     seg_row = jax.lax.broadcasted_iota(jnp.int32, (TI, TNK), 0)
     seg_col = jax.lax.broadcasted_iota(jnp.int32, (TI, TNK), 1)
     SEG = (seg_col // K == seg_row).astype(dtype)  # [TI, TNK]
-    SEGf = SEG.astype(jnp.float32)
+    segl_row = jax.lax.broadcasted_iota(jnp.int32, (NLIG, LK), 0)
+    segl_col = jax.lax.broadcasted_iota(jnp.int32, (NLIG, LK), 1)
+    SEGLf = (segl_col // K == segl_row).astype(jnp.float32)  # [NLIG, LK]
 
     def lift_rows(v2, rows_n, tnk):  # [rows_n, K] -> [tnk, 1]
         return jnp.broadcast_to(v2[:, :, None], (rows_n, K, 8)).reshape(tnk, 8)[:, :1]
 
-    def feat_pack(erows, rel, dist, tnk, et2d):
-        """feat = [onehot(et,4) | rbf(20) x onehot(et,4)] into ecache
-        (reference models/uni_transformer.py:49-51 kv-input order); rel goes
-        to the aligned f32 relc scratch."""
-        rbf = jnp.exp(coeff * (dist - offsets_ref[:]) ** 2)  # [tnk, R]
-        nrows = et2d.shape[0]
-        ets = [
-            lift_rows((et2d == t).astype(jnp.float32), nrows, tnk) for t in range(4)
-        ]
-        et4f = jnp.concatenate(ets, axis=1)
-        feat = jnp.concatenate(
-            [et4f] + [rbf * et4f[:, i : i + 1] for i in range(4)], axis=1
-        )
-        zrest = jnp.zeros((tnk, 128 - 84), dtype)
-        ecache[erows, :] = jnp.concatenate([feat.astype(dtype), zrest], axis=1)
-        relc[erows, 0:3] = rel
-        return rbf
+    def etype_of(idx_t, row0):
+        """4-way protein/ligand edge type from the composed layout: sources
+        and destinations with index >= N - NLIG are ligand (replaces the
+        per-step XLA take_along_axis glue; reference
+        models/uni_transformer.py:288-299)."""
+        rows_n = idx_t.shape[0]
+        rowi = row0 + jax.lax.broadcasted_iota(jnp.int32, (rows_n, K), 0)
+        src_lig = idx_t >= NPAD
+        dst_lig = rowi >= NPAD
+        return jnp.where(
+            src_lig & dst_lig, 0,
+            jnp.where(src_lig & ~dst_lig, 1, jnp.where(~src_lig & dst_lig, 2, 3)),
+        ).astype(jnp.int32)
 
-    # ---- block-start init: one-hot cache, feat/rel cache, edge weights ----
+    def rbf_of(dist):
+        return jnp.exp(coeff * (dist - offsets_ref[:]) ** 2)  # [tnk, R=20]
+
+    def feat_store(erows, rel, rbf, tnk):
+        """Refresh the rbf-dependent 80 lanes of ecache:
+        feat80 = [rbf|rbf|rbf|rbf] * cached-et-replication-mask
+        (the outer product rbf x onehot(et,4), reference
+        models/uni_transformer.py:194-195). rel goes to the aligned f32
+        relc scratch."""
+        rbf4 = jnp.concatenate([rbf, rbf, rbf, rbf], axis=1)  # [tnk, 4R]
+        feat80 = rbf4 * e4rep[erows, 0 : 4 * R].astype(jnp.float32)
+        ecache[erows, 0 : 4 * R] = feat80.astype(dtype)
+        relc[erows, 0:3] = rel
+
+    # ---- block-start init: one-hot caches, et masks, feats, edge weights --
     def init_tile(ti, _):
         rows = pl.ds(ti * TI, TI)
         erows = pl.ds(ti * TNK, TNK)
@@ -176,12 +206,26 @@ def _block_kernel(
         # ligand-only one-hot (lane = idx - (N - NLIG)); geometry updates
         # later in the block gather ONLY ligand deltas through this
         iotaL = jax.lax.broadcasted_iota(jnp.int32, (TI, K, 128), 2)
-        ridx = idx_t - (N - NLIG)
+        ridx = idx_t - NPAD
         ohl = ((ridx[:, :, None] == iotaL) & (ridx[:, :, None] >= 0)).astype(
             dtype
         ).reshape(TNK, 128)
         olcache[erows, :] = ohl
-        x_cur = xbuf[0]
+        # static per-block et features: the 4-lane one-hot tail of ecache
+        # and the 80-lane group-replication mask for the rbf outer product
+        et2d = etype_of(idx_t, ti * TI)
+        ets = [
+            lift_rows((et2d == t).astype(jnp.float32), TI, TNK) for t in range(4)
+        ]
+        et4f = jnp.concatenate(ets, axis=1)  # [TNK, 4]
+        zrest = jnp.zeros((TNK, 128 - ER), dtype)
+        e4r = jnp.concatenate(
+            [jnp.broadcast_to(et4f[:, g : g + 1], (TNK, R)) for g in range(4)]
+            + [jnp.zeros((TNK, 128 - 4 * R), jnp.float32)],
+            axis=1,
+        )
+        e4rep[erows, :] = e4r.astype(dtype)
+        x_cur = xfull[:, :]
         x_hi = x_cur.astype(dtype)
         x_lo = (x_cur - x_hi.astype(jnp.float32)).astype(dtype)
         xhl = jnp.concatenate(
@@ -190,11 +234,17 @@ def _block_kernel(
         xj2 = jnp.dot(oh, xhl, preferred_element_type=jnp.float32)
         xj = xj2[:, 0:3] + xj2[:, 8:11]
         xi = jnp.broadcast_to(
-            xbuf[0, rows, :][:, None, :], (TI, K, 3)
+            xfull[rows, :][:, None, :], (TI, K, 3)
         ).reshape(TNK, 3)
         rel = xi - xj
         dist = jnp.sqrt((rel * rel).sum(-1, keepdims=True) + 1e-16)
-        rbf = feat_pack(erows, rel, dist, TNK, etype_ref[0, rows, :])
+        rbf = rbf_of(dist)
+        rbf4 = jnp.concatenate([rbf, rbf, rbf, rbf], axis=1)
+        feat80 = rbf4 * e4r[:, 0 : 4 * R]
+        ecache[erows, :] = jnp.concatenate(
+            [feat80.astype(dtype), et4f.astype(dtype), zrest], axis=1
+        )
+        relc[erows, 0:3] = rel
         z = jnp.dot(rbf.astype(dtype), ewp.w1[:], preferred_element_type=jnp.float32) + ewp.b1[:]
         z = _ln_relu(z, ewp.lns[:], ewp.lnb[:], out_dtype=dtype)
         logit = jnp.dot(z, ewp.w2[:], preferred_element_type=jnp.float32) + ewp.b2[:]
@@ -203,47 +253,42 @@ def _block_kernel(
 
     jax.lax.fori_loop(0, T, init_tile, 0, unroll=False)
 
-    def stage_node(h_all, w1er_k, w1er_v, w1j_k, w1j_v, w1i_k, b1_k, w1i_v, b1_v,
-                   qw1, qb1, qlns, qlnb, qw2, qb2):
-        """Per-layer node-level precomputes into scratches:
-        nw = [h@w1j_k | h@w1j_v] bf16; ni = [h@w1i_k + b1_k | h@w1i_v + b1_v]
-        f32; nq = node-MLP output f32 (gather-fold: onehot @ nw replaces the
-        per-edge hj materialization)."""
-        wkv[0:84, :H] = w1er_k
-        wkv[0:84, H:] = w1er_v
-        nw[:, :H] = jnp.dot(h_all, w1j_k, preferred_element_type=jnp.float32).astype(dtype)
-        nw[:, H:] = jnp.dot(h_all, w1j_v, preferred_element_type=jnp.float32).astype(dtype)
-        ni[:, :H] = jnp.dot(h_all, w1i_k, preferred_element_type=jnp.float32) + b1_k
-        ni[:, H:] = jnp.dot(h_all, w1i_v, preferred_element_type=jnp.float32) + b1_v
-        z = jnp.dot(h_all, qw1, preferred_element_type=jnp.float32) + qb1
-        z = _ln_relu(z, qlns, qlnb, out_dtype=dtype)
+    def stage_node(h_all, w1iq, b1q, qlns, qlnb, qw2, qb2):
+        """Destination-side node precomputes in ONE [N, 3H] first dot:
+        ni = h @ w1i_kv + b1 (k|v halves) and the query MLP's first layer
+        (last H lanes), then the query LN + second matmul."""
+        z3 = jnp.dot(h_all, w1iq, preferred_element_type=jnp.float32) + b1q
+        ni[:, :] = z3[:, : 2 * H]
+        z = _ln_relu(z3[:, 2 * H :], qlns, qlnb, out_dtype=dtype)
         nq[:, :] = jnp.dot(z, qw2, preferred_element_type=jnp.float32) + qb2
 
-    def edge_mlp_kv(oh, feat, hi_kv_rep,
-                    lns_k, lnb_k, w2_k, b2_k, lns_v, lnb_v, w2_v, b2_v):
-        """Fused k+v edge MLPs: ONE gather-shaped dot with the combined
-        [N, 2H] node-precompute RHS (nw), so the 11 MB one-hot LHS is read
-        once per pass instead of twice; LN/w2 then run per 128-lane half."""
-        zg = jnp.dot(oh, nw[:, :], preferred_element_type=jnp.float32)  # [tnk, 2H]
-        zf = jnp.dot(feat, wkv[0:84, :], preferred_element_type=jnp.float32)
-        z = zg + zf + hi_kv_rep
-        z_k = _ln_relu(z[:, :H], lns_k, lnb_k, out_dtype=dtype)
-        z_v = _ln_relu(z[:, H:], lns_v, lnb_v, out_dtype=dtype)
+    def edge_mlp_kv(hj, feat, hi_kv_rep, w1er, w1j,
+                    lns, lnb, w2_k, b2_k, w2_v, b2_v):
+        """Fused k+v edge MLPs: first layers as one [*, 2H] dot each over
+        the merged k|v weight stacks; LN/second-matmul per 128-lane half."""
+        z = (
+            jnp.dot(hj, w1j, preferred_element_type=jnp.float32)
+            + jnp.dot(feat, w1er, preferred_element_type=jnp.float32)
+            + hi_kv_rep
+        )
+        z_k = _ln_relu(z[:, :H], lns[0:1, :], lnb[0:1, :], out_dtype=dtype)
+        z_v = _ln_relu(z[:, H:], lns[1:2, :], lnb[1:2, :], out_dtype=dtype)
         k = (jnp.dot(z_k, w2_k, preferred_element_type=jnp.float32) + b2_k).astype(dtype)
         v = (jnp.dot(z_v, w2_v, preferred_element_type=jnp.float32) + b2_v).astype(dtype)
         return k, v
 
-    def softmax_of(k, q_tile, nm_t):
+    def softmax_of(k, q_tile, nm_t, tl):
+        tlk = tl * K
         q_rep = jnp.broadcast_to(
-            q_tile[:, None, :], (TI, K, H)
-        ).reshape(TNK, H)
+            q_tile[:, None, :], (tl, K, H)
+        ).reshape(tlk, H)
         prod = k * q_rep
         logits = jnp.dot(prod, S, preferred_element_type=jnp.float32) / math.sqrt(dh)
-        lg = jnp.where(nm_t > 0, logits.reshape(TI, K, n_heads), NEG)
+        lg = jnp.where(nm_t > 0, logits.reshape(tl, K, n_heads), NEG)
         mx = lg.max(axis=1, keepdims=True)
         e = jnp.exp(lg - mx) * nm_t
         den = e.sum(axis=1, keepdims=True)
-        return (e / jnp.maximum(den, 1e-16)).reshape(TNK, n_heads)
+        return (e / jnp.maximum(den, 1e-16)).reshape(tlk, n_heads)
 
     def layer_body(l, _):
         src = jax.lax.rem(l, 2)
@@ -251,11 +296,11 @@ def _block_kernel(
 
         # geometry changed in the previous layer's h2x — but ONLY ligand
         # atoms move, so the update gathers just the [NLIG] delta block
-        # through the 128-lane ligand one-hot (50x smaller read than a full
-        # [NK, N] gather): rel' = rel + d_i - oh_lig @ d_lig
-        @pl.when(l > 0)
+        # (written into dnode by h2x) through the 128-lane ligand one-hot:
+        # rel' = rel + d_i - oh_lig @ d_lig
+        @pl.when(jnp.logical_and(l > 0, "regeo" not in ablate))
         def _():
-            dl = xbuf[src, N - NLIG : N, :] - xbuf[1 - src, N - NLIG : N, :]
+            dl = dnode[NPAD:N, 0:3]
             d_hi = dl.astype(dtype)
             d_lo = (dl - d_hi.astype(jnp.float32)).astype(dtype)
             dlig[0:NLIG, 0:3] = d_hi.astype(jnp.float32)
@@ -269,36 +314,38 @@ def _block_kernel(
                 dj2 = jnp.dot(ohl, dlig[:, :].astype(dtype),
                               preferred_element_type=jnp.float32)
                 dj = dj2[:, 0:3] + dj2[:, 8:11]
-                d_rows = xbuf[src, rows, :] - xbuf[1 - src, rows, :]
+                d_rows = dnode[rows, 0:3]  # zero for protein rows
                 di = jnp.broadcast_to(
                     d_rows[:, None, :], (TI, K, 3)
                 ).reshape(TNK, 3)
                 rel = rel_old + di - dj
                 dist = jnp.sqrt((rel * rel).sum(-1, keepdims=True) + 1e-16)
-                feat_pack(erows, rel, dist, TNK, etype_ref[0, rows, :])
+                feat_store(erows, rel, rbf_of(dist), TNK)
                 return 0
 
             jax.lax.fori_loop(0, T, regeo_tile, 0, unroll=False)
 
-        # ---- pass A: x2h ----
-        stage_node(hbuf[src], bp.hk_w1er[l], bp.hv_w1er[l], bp.hk_w1j[l], bp.hv_w1j[l], bp.hk_w1i[l],
-                   bp.hk_b1[l], bp.hv_w1i[l], bp.hv_b1[l],
-                   bp.hq_w1[l], bp.hq_b1[l], bp.hq_lns[l], bp.hq_lnb[l],
-                   bp.hq_w2[l], bp.hq_b2[l])
+        # ---- pass A: x2h (consumes hjc gathered from this layer's h) ----
+        stage_node(hbuf[src], bp.h_w1iq[l], bp.h_b1q[l],
+                   bp.hq_lns[l], bp.hq_lnb[l], bp.hq_w2[l], bp.hq_b2[l])
 
         def x2h_tile(ti, _):
             rows = pl.ds(ti * TI, TI)
             erows = pl.ds(ti * TNK, TNK)
-            oh = ocache[erows, :]
-            feat = ecache[erows, 0:84]
+            # raw 128-lane neighbor-h gather, computed in-tile: feeding the
+            # projection dot directly avoids a [NK, H] scratch round-trip
+            hj = jnp.dot(
+                ocache[erows, :], hbuf[src], preferred_element_type=jnp.float32
+            ).astype(dtype)
+            feat = ecache[erows, 0:ER]
             hi_kv_rep = jnp.broadcast_to(
                 ni[rows, :][:, None, :], (TI, K, 2 * H)
             ).reshape(TNK, 2 * H)
-            k, v = edge_mlp_kv(oh, feat, hi_kv_rep,
-                               bp.hk_lns[l], bp.hk_lnb[l], bp.hk_w2[l], bp.hk_b2[l],
-                               bp.hv_lns[l], bp.hv_lnb[l], bp.hv_w2[l], bp.hv_b2[l])
+            k, v = edge_mlp_kv(hj, feat, hi_kv_rep, bp.h_w1er[l], bp.h_w1j[l],
+                               bp.h_lns[l], bp.h_lnb[l],
+                               bp.h_w2k[l], bp.h_b2k[l], bp.h_w2v[l], bp.h_b2v[l])
             nm_t = nmask_ref[0, rows, :].reshape(TI, K, 1)
-            alpha = softmax_of(k, nq[rows, :].astype(dtype), nm_t)
+            alpha = softmax_of(k, nq[rows, :].astype(dtype), nm_t, TI)
             alpha128 = jnp.dot(alpha, St, preferred_element_type=jnp.float32)
             ew1 = lift_rows(ewbuf[rows, :], TI, TNK)
             av = (alpha128 * ew1 * v.astype(jnp.float32)).astype(dtype)
@@ -308,47 +355,50 @@ def _block_kernel(
             ).astype(dtype)
             return 0
 
-        jax.lax.fori_loop(0, T, x2h_tile, 0, unroll=False)
+        if "x2h" not in ablate:
+            jax.lax.fori_loop(0, T, x2h_tile, 0, unroll=False)
 
-        # ---- pass B: h2x ----
-        stage_node(hbuf[dst], bp.xk_w1er[l], bp.xv_w1er[l], bp.xk_w1j[l], bp.xv_w1j[l], bp.xk_w1i[l],
-                   bp.xk_b1[l], bp.xv_w1i[l], bp.xv_b1[l],
-                   bp.xq_w1[l], bp.xq_b1[l], bp.xq_lns[l], bp.xq_lnb[l],
-                   bp.xq_w2[l], bp.xq_b2[l])
-
-        def h2x_tile(ti, _):
-            rows = pl.ds(ti * TI, TI)
-            erows = pl.ds(ti * TNK, TNK)
-            oh = ocache[erows, :]
-            feat = ecache[erows, 0:84]
-            rel = relc[erows, 0:3]
-            hi_kv_rep = jnp.broadcast_to(
-                ni[rows, :][:, None, :], (TI, K, 2 * H)
-            ).reshape(TNK, 2 * H)
-            k, v16 = edge_mlp_kv(oh, feat, hi_kv_rep,
-                                 bp.xk_lns[l], bp.xk_lnb[l], bp.xk_w2[l], bp.xk_b2[l],
-                                 bp.xv_lns[l], bp.xv_lnb[l], bp.xv_w2[l], bp.xv_b2[l])
-            nm_t = nmask_ref[0, rows, :].reshape(TI, K, 1)
-            alpha = softmax_of(k, nq[rows, :].astype(dtype), nm_t)
-            ew1 = lift_rows(ewbuf[rows, :], TI, TNK)
-            s = (alpha * (v16.astype(jnp.float32) * ew1)).sum(
-                axis=-1, keepdims=True
-            ) / n_heads
-            sr = s * rel
-            delta = jnp.dot(SEGf, sr, preferred_element_type=jnp.float32)
-            xbuf[dst, rows, :] = (
-                xbuf[src, rows, :] + delta * mlig_ref[0, rows, :]
-            )
+        # ---- pass B: h2x, LIGAND-destination rows only ----
+        # x updates are masked to ligand atoms (reference
+        # models/uni_transformer.py:206), and ligand rows sit at the tail of
+        # the composed layout — so the whole pass (edge MLPs, attention)
+        # runs on just the last NLIG rows' LK = NLIG*K edges.
+        if "h2x" in ablate:
             return 0
+        stage_node(hbuf[dst], bp.x_w1iq[l], bp.x_b1q[l],
+                   bp.xq_lns[l], bp.xq_lnb[l], bp.xq_w2[l], bp.xq_b2[l])
 
-        jax.lax.fori_loop(0, T, h2x_tile, 0, unroll=False)
+        lrows = pl.ds(NPAD, NLIG)
+        lerows = pl.ds(NPAD * K, LK)
+        hj = jnp.dot(
+            ocache[lerows, :], hbuf[dst], preferred_element_type=jnp.float32
+        ).astype(dtype)
+        feat = ecache[lerows, 0:ER]
+        rel = relc[lerows, 0:3]
+        hi_kv_rep = jnp.broadcast_to(
+            ni[lrows, :][:, None, :], (NLIG, K, 2 * H)
+        ).reshape(LK, 2 * H)
+        k, v16 = edge_mlp_kv(hj, feat, hi_kv_rep, bp.x_w1er[l], bp.x_w1j[l],
+                             bp.x_lns[l], bp.x_lnb[l],
+                             bp.x_w2k[l], bp.x_b2k[l], bp.x_w2v[l], bp.x_b2v[l])
+        nm_t = nmask_ref[0, lrows, :].reshape(NLIG, K, 1)
+        alpha = softmax_of(k, nq[lrows, :].astype(dtype), nm_t, NLIG)
+        ew1 = lift_rows(ewbuf[lrows, :], NLIG, LK)
+        s = (alpha * (v16.astype(jnp.float32) * ew1)).sum(
+            axis=-1, keepdims=True
+        ) / n_heads
+        sr = s * rel
+        delta = jnp.dot(SEGLf, sr, preferred_element_type=jnp.float32)
+        delta = delta * mlig_ref[0, lrows, :]  # padded ligand rows stay put
+        dnode[lrows, 0:3] = delta
+        xfull[lrows, :] = xfull[lrows, :] + delta
         return 0
 
     jax.lax.fori_loop(0, L, layer_body, 0, unroll=False)
 
     last = L % 2
     hout_ref[0] = hbuf[last].astype(hout_ref.dtype)
-    xout_ref[0] = xbuf[last]
+    xout_ref[0] = xfull[:, :]
 
 
 def estimate_vmem_bytes(N: int, K: int, H: int = 128) -> int:
@@ -359,22 +409,22 @@ def estimate_vmem_bytes(N: int, K: int, H: int = 128) -> int:
     NK = N * K
     return (
         2 * N * H * 2  # hbuf bf16
-        + 2 * N * 3 * 4  # xbuf f32
+        + N * 3 * 4  # xfull f32
+        + N * 8 * 4  # dnode f32
         + N * K * 4  # ewbuf
         + NK * 128 * 2  # ecache bf16
+        + NK * 128 * 2  # e4rep bf16
         + NK * 8 * 4  # relc f32
         + NK * N * 2  # ocache bf16
         + NK * 128 * 2  # olcache bf16
         + 128 * 16 * 4  # dlig
-        + N * 2 * H * 2  # nw bf16
         + N * 2 * H * 4  # ni f32
         + N * H * 4  # nq f32
-        + 88 * 2 * H * 2  # wkv
     )
 
 
 # leave headroom under the 96 MB raised scoped-VMEM limit for inputs
-# (h/x/idx/etype blocks + stacked layer params) and compiler temporaries
+# (h/x/idx blocks + stacked layer params) and compiler temporaries
 VMEM_SCRATCH_BUDGET = 72 * 1024 * 1024
 
 
@@ -385,13 +435,13 @@ def block_denoiser_fits(N: int, K: int, H: int = 128) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("num_layers", "n_heads", "coeff", "dtype", "interpret",
-                     "tile", "n_ligand"),
+                     "tile", "n_ligand", "ablate"),
 )
 def block_denoiser(
-    h, x, idx, nbr_mask, etype, mask_ligand, offsets,
+    h, x, idx, nbr_mask, mask_ligand, offsets,
     ew_params: EwParams, block_params: BlockParams,
     *, num_layers, n_heads=16, coeff=-0.5, dtype=jnp.bfloat16, interpret=False,
-    tile=104, n_ligand=32,
+    tile=104, n_ligand=32, ablate=(),
 ):
     B, N, H = h.shape
     K = idx.shape[-1]
@@ -415,27 +465,29 @@ def block_denoiser(
 
     NLIG = n_ligand
     assert NLIG <= 128, "ligand block must fit the 128-lane gather"
+    assert (N - NLIG) % 8 == 0 and ((N - NLIG) * K) % 8 == 0, (
+        "ligand tail block must be sublane-aligned", N, NLIG, K
+    )
     kern = functools.partial(
         _block_kernel, N=N, H=H, K=K, L=num_layers, n_heads=n_heads,
-        coeff=coeff, dtype=dtype, TI=TI, NLIG=NLIG,
+        coeff=coeff, dtype=dtype, TI=TI, NLIG=NLIG, ablate=ablate,
     )
 
     n_ew = len(EwParams._fields)
     n_bp = len(BlockParams._fields)
 
     def wrapped(*refs):
-        regular = refs[:7]
-        ewp = EwParams(*refs[7 : 7 + n_ew])
-        bpp = BlockParams(*refs[7 + n_ew : 7 + n_ew + n_bp])
-        outs = refs[7 + n_ew + n_bp : 7 + n_ew + n_bp + 2]
-        scratch = refs[7 + n_ew + n_bp + 2 :]
+        regular = refs[:6]
+        ewp = EwParams(*refs[6 : 6 + n_ew])
+        bpp = BlockParams(*refs[6 + n_ew : 6 + n_ew + n_bp])
+        outs = refs[6 + n_ew + n_bp : 6 + n_ew + n_bp + 2]
+        scratch = refs[6 + n_ew + n_bp + 2 :]
         kern(*regular, ewp, bpp, *outs, *scratch)
 
     in_specs = (
         [
             pl.BlockSpec((1, N, H), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, N, 3), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, N, K), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, N, K), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, N, K), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, N, 1), lambda b: (b, 0, 0)),
@@ -459,22 +511,22 @@ def block_denoiser(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, N, H), dtype),
-            pltpu.VMEM((2, N, 3), jnp.float32),
-            pltpu.VMEM((N, K), jnp.float32),
-            pltpu.VMEM((N * K, 128), dtype),
-            pltpu.VMEM((N * K, 8), jnp.float32),
-            pltpu.VMEM((N * K, N), dtype),
-            pltpu.VMEM((N * K, 128), dtype),
-            pltpu.VMEM((128, 16), jnp.float32),
-            pltpu.VMEM((N, 2 * H), dtype),
-            pltpu.VMEM((N, 2 * H), jnp.float32),
-            pltpu.VMEM((N, H), jnp.float32),
-            pltpu.VMEM((88, 2 * H), dtype),
+            pltpu.VMEM((N, 3), jnp.float32),  # xfull: current positions
+            pltpu.VMEM((N, 8), jnp.float32),  # dnode: last-h2x per-node delta
+            pltpu.VMEM((N, K), jnp.float32),  # ewbuf
+            pltpu.VMEM((N * K, 128), dtype),  # ecache
+            pltpu.VMEM((N * K, 128), dtype),  # e4rep (static et masks)
+            pltpu.VMEM((N * K, 8), jnp.float32),  # relc
+            pltpu.VMEM((N * K, N), dtype),  # ocache
+            pltpu.VMEM((N * K, 128), dtype),  # olcache
+            pltpu.VMEM((128, 16), jnp.float32),  # dlig
+            pltpu.VMEM((N, 2 * H), jnp.float32),  # ni
+            pltpu.VMEM((N, H), jnp.float32),  # nq
         ],
         interpret=interpret,
     )(
         h, x.astype(jnp.float32), idx.astype(jnp.int32),
-        nbr_mask.astype(jnp.float32), etype.astype(jnp.int32),
+        nbr_mask.astype(jnp.float32),
         mask_ligand.astype(jnp.float32)[..., None], offsets.reshape(1, -1),
         *ew_params, *block_params,
     )

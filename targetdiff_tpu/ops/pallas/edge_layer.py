@@ -235,10 +235,10 @@ def _x2h_kernel(
 def _h2x_kernel(
     h_ref, x_ref, idx_ref, nmask_ref, etype_ref, ew_ref, mlig_ref, offsets_ref, p_refs,
     xout_ref,
-    *, N, H, K, n_heads, coeff, dtype, TN,
+    *, N, H, K, n_heads, coeff, dtype, TN, T0=0,
 ):
     t = pl.program_id(1)
-    rows = pl.ds(t * TN, TN)
+    rows = pl.ds((t + T0) * TN, TN)
     TNK = TN * K
     dh = H // n_heads
 
@@ -353,30 +353,39 @@ def x2h_attention_layer(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_heads", "coeff", "dtype", "interpret"),
+    static_argnames=("n_heads", "coeff", "dtype", "interpret", "n_ligand"),
 )
 def h2x_attention_layer(
     h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets, params: H2XParams,
     *, n_heads=16, coeff=-0.5, dtype=jnp.bfloat16, interpret=False,
+    n_ligand=None,
 ):
-    """Returns updated coordinates x' [B,N,3] (ligand rows only move)."""
+    """Returns updated coordinates x' [B,N,3] (ligand rows only move).
+
+    With `n_ligand` (the composed layout's ligand tail size), the grid runs
+    ONLY the destination tiles containing ligand rows — protein rows never
+    move, so their h2x edge computations are dead work (reference
+    models/uni_transformer.py:206 masks the same result)."""
     B, N, H = h.shape
     K = idx.shape[-1]
     TN = _pick_tile(N)
-    grid = (B, N // TN)
+    T = N // TN
+    t0 = 0 if n_ligand is None else (N - n_ligand) // TN
+    grid = (B, T - t0)
     TNK = TN * K
 
     kern = functools.partial(
-        _h2x_kernel, N=N, H=H, K=K, n_heads=n_heads, coeff=coeff, dtype=dtype, TN=TN
+        _h2x_kernel, N=N, H=H, K=K, n_heads=n_heads, coeff=coeff, dtype=dtype,
+        TN=TN, T0=t0,
     )
     params2d = _params_2d(params)
     in_specs = [
         pl.BlockSpec((1, N, H), lambda b, t: (b, 0, 0)),
         pl.BlockSpec((1, N, 3), lambda b, t: (b, 0, 0)),
-        pl.BlockSpec((1, TN, K), lambda b, t: (b, t, 0)),
-        pl.BlockSpec((1, TN, K), lambda b, t: (b, t, 0)),
-        pl.BlockSpec((1, TN, K), lambda b, t: (b, t, 0)),
-        pl.BlockSpec((1, TN, K), lambda b, t: (b, t, 0)),
+        pl.BlockSpec((1, TN, K), lambda b, t: (b, t + t0, 0)),
+        pl.BlockSpec((1, TN, K), lambda b, t: (b, t + t0, 0)),
+        pl.BlockSpec((1, TN, K), lambda b, t: (b, t + t0, 0)),
+        pl.BlockSpec((1, TN, K), lambda b, t: (b, t + t0, 0)),
         pl.BlockSpec((1, N, 1), lambda b, t: (b, 0, 0)),
         pl.BlockSpec((1, offsets.shape[-1]), lambda b, t: (0, 0)),
     ] + [pl.BlockSpec(p.shape, lambda b, t: (0, 0)) for p in params2d]
@@ -386,14 +395,17 @@ def h2x_attention_layer(
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, TN, 3), lambda b, t: (b, t, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, N, 3), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, (T - t0) * TN, 3), x.dtype),
         interpret=interpret,
     )(
         h, x, idx, nbr_mask.astype(jnp.float32),
         etype.astype(jnp.int32), e_w.astype(jnp.float32),
         mask_ligand.astype(jnp.float32)[..., None], offsets.reshape(1, -1), *params2d,
     )
-    return out
+    if t0 == 0:
+        return out
+    # protein-only leading tiles were skipped: their coordinates are the input
+    return jnp.concatenate([x[:, : t0 * TN], out], axis=1)
 
 
 def _params_2d(params):

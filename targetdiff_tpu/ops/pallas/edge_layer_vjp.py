@@ -325,12 +325,12 @@ def _h2x_bwd_kernel(
     h_ref, x_ref, idx_ref, nmask_ref, etype_ref, ew_ref, mlig_ref, offsets_ref,
     g_ref, p: H2XParams,
     dh_ref, dx_ref, dew_ref, *dp_refs,
-    N, H, K, n_heads, coeff, TN,
+    N, H, K, n_heads, coeff, TN, T0=0,
 ):
     b = pl.program_id(0)
     t = pl.program_id(1)
     dh = H // n_heads
-    rows = pl.ds(t * TN, TN)
+    rows = pl.ds((t + T0) * TN, TN)
 
     @pl.when(t == 0)
     def _():
@@ -506,15 +506,21 @@ def _x2h_bwd(h, x, idx, nbr_mask, etype, e_w, offsets, params, g,
 
 
 def _h2x_bwd(h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets, params, g,
-             *, n_heads, coeff, interpret):
+             *, n_heads, coeff, interpret, n_ligand=None):
     B, N, H = h.shape
     K = idx.shape[-1]
     TN = _pick_tile(N)
-    grid = (B, N // TN)
+    T = N // TN
+    # ligand-tail restriction: only destination tiles containing ligand rows
+    # have a delta path; protein rows contribute only the identity d x = g,
+    # added outside the kernel
+    t0 = 0 if n_ligand is None else (N - n_ligand) // TN
+    grid = (B, T - t0)
     params2d = _params_2d(params)
 
     kern = functools.partial(
-        _h2x_bwd_kernel, N=N, H=H, K=K, n_heads=n_heads, coeff=coeff, TN=TN
+        _h2x_bwd_kernel, N=N, H=H, K=K, n_heads=n_heads, coeff=coeff, TN=TN,
+        T0=t0,
     )
     n_regular = 9
 
@@ -528,13 +534,13 @@ def _h2x_bwd(h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets, params, g,
     in_specs = [
         pl.BlockSpec((1, N, H), lambda b, t: (b, 0, 0)),
         pl.BlockSpec((1, N, 3), lambda b, t: (b, 0, 0)),
-        pl.BlockSpec((1, TN, K), lambda b, t: (b, t, 0)),
-        pl.BlockSpec((1, TN, K), lambda b, t: (b, t, 0)),
-        pl.BlockSpec((1, TN, K), lambda b, t: (b, t, 0)),
-        pl.BlockSpec((1, TN, K), lambda b, t: (b, t, 0)),
-        pl.BlockSpec((1, TN, 1), lambda b, t: (b, t, 0)),
+        pl.BlockSpec((1, TN, K), lambda b, t: (b, t + t0, 0)),
+        pl.BlockSpec((1, TN, K), lambda b, t: (b, t + t0, 0)),
+        pl.BlockSpec((1, TN, K), lambda b, t: (b, t + t0, 0)),
+        pl.BlockSpec((1, TN, K), lambda b, t: (b, t + t0, 0)),
+        pl.BlockSpec((1, TN, 1), lambda b, t: (b, t + t0, 0)),
         pl.BlockSpec((1, offsets.shape[-1]), lambda b, t: (0, 0)),
-        pl.BlockSpec((1, TN, 3), lambda b, t: (b, t, 0)),
+        pl.BlockSpec((1, TN, 3), lambda b, t: (b, t + t0, 0)),
     ] + [pl.BlockSpec(p.shape, lambda b, t: (0, 0)) for p in params2d]
 
     out_specs = [
@@ -548,7 +554,7 @@ def _h2x_bwd(h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets, params, g,
     out_shape = [
         jax.ShapeDtypeStruct((B, N, H), jnp.float32),
         jax.ShapeDtypeStruct((B, N, 3), jnp.float32),
-        jax.ShapeDtypeStruct((B, N, K), jnp.float32),
+        jax.ShapeDtypeStruct((B, (T - t0) * TN, K), jnp.float32),
     ] + _param_grad_shapes(params)
 
     outs = pl.pallas_call(
@@ -560,6 +566,12 @@ def _h2x_bwd(h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets, params, g,
         offsets.reshape(1, -1), g, *params2d,
     )
     dh_, dx_, dew_ = outs[0], outs[1], outs[2]
+    if t0:
+        # skipped protein tiles: identity path d x = g; d e_w = 0 there
+        dx_ = dx_.at[:, : t0 * TN, :].add(g[:, : t0 * TN, :])
+        dew_ = jnp.concatenate(
+            [jnp.zeros((B, t0 * TN, K), dew_.dtype), dew_], axis=1
+        )
     dparams = H2XParams(*[
         dp.reshape(p.shape) for dp, p in zip(outs[3:], params)
     ])
@@ -649,30 +661,35 @@ def _x2h_bwd_rule(n_heads, coeff, interpret, res, g):
 x2h_layer_trainable.defvjp(_x2h_fwd_rule, _x2h_bwd_rule)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
 def h2x_layer_trainable(h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets,
-                        params, n_heads, coeff, interpret):
-    """BaseH2XAttLayer with Pallas forward AND Pallas backward."""
+                        params, n_heads, coeff, interpret, n_ligand=None):
+    """BaseH2XAttLayer with Pallas forward AND Pallas backward.
+
+    `n_ligand` restricts both directions to the ligand-destination tail
+    tiles (protein coordinates never move)."""
     return h2x_attention_layer(
         h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets, params,
         n_heads=n_heads, coeff=coeff, dtype=jnp.float32, interpret=interpret,
+        n_ligand=n_ligand,
     )
 
 
 def _h2x_fwd_rule(h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets,
-                  params, n_heads, coeff, interpret):
+                  params, n_heads, coeff, interpret, n_ligand=None):
     out = h2x_attention_layer(
         h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets, params,
         n_heads=n_heads, coeff=coeff, dtype=jnp.float32, interpret=interpret,
+        n_ligand=n_ligand,
     )
     return out, (h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets, params)
 
 
-def _h2x_bwd_rule(n_heads, coeff, interpret, res, g):
+def _h2x_bwd_rule(n_heads, coeff, interpret, n_ligand, res, g):
     h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets, params = res
     dh_, dx_, dew_, dparams = _h2x_bwd(
         h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets, params, g,
-        n_heads=n_heads, coeff=coeff, interpret=interpret,
+        n_heads=n_heads, coeff=coeff, interpret=interpret, n_ligand=n_ligand,
     )
     return (
         dh_.astype(h.dtype), dx_.astype(x.dtype), _zero_cot(idx),

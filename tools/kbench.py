@@ -44,15 +44,14 @@ def main():
     x = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32) * 4)
     idx = jnp.asarray(rng.integers(0, N, (B, N, K)).astype(np.int32))
     nmask = jnp.asarray(rng.random((B, N, K)) > 0.1)
-    etype = jnp.asarray(rng.integers(0, 4, (B, N, K)).astype(np.int32))
     mlig = jnp.asarray(np.arange(N)[None, :] >= NPRO).astype(jnp.bool_)
     mlig = jnp.broadcast_to(mlig, (B, N))
 
     def run():
         return block_denoiser(
-            h, x, idx, nmask, etype, mlig, offsets, ew_p, block_p,
+            h, x, idx, nmask, mlig, offsets, ew_p, block_p,
             num_layers=L, n_heads=heads, coeff=coeff, dtype=jnp.bfloat16,
-            tile=tile,
+            tile=tile, n_ligand=NL,
         )
 
     t0 = time.time()

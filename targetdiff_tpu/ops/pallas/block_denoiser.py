@@ -110,9 +110,12 @@ class EwParams(NamedTuple):
     b2: jnp.ndarray
 
 
-def _ln_relu(x, scale, bias, eps=1e-5, out_dtype=None):
+def _ln_relu(x, scale, bias, eps=1e-5, out_dtype=None, skip_ln=False):
     """LayerNorm + relu; mean/mean-square reductions as MXU matmuls."""
     xf = x.astype(jnp.float32)
+    if skip_ln:  # ablation timing stand-in
+        out = jnp.maximum(xf * scale + bias, 0.0)
+        return out if out_dtype is None else out.astype(out_dtype)
     H = xf.shape[-1]
     ones2 = jnp.ones((H, 8), jnp.float32) / H
     x2 = xf * xf
@@ -251,7 +254,8 @@ def _block_kernel(
         ewbuf[rows, :] = jax.nn.sigmoid(logit).reshape(TI, K)
         return 0
 
-    jax.lax.fori_loop(0, T, init_tile, 0, unroll=False)
+    if "init" not in ablate:
+        jax.lax.fori_loop(0, T, init_tile, 0, unroll=False)
 
     def stage_node(h_all, w1iq, b1q, qlns, qlnb, qw2, qb2):
         """Destination-side node precomputes in ONE [N, 3H] first dot:
@@ -271,8 +275,13 @@ def _block_kernel(
             + jnp.dot(feat, w1er, preferred_element_type=jnp.float32)
             + hi_kv_rep
         )
-        z_k = _ln_relu(z[:, :H], lns[0:1, :], lnb[0:1, :], out_dtype=dtype)
-        z_v = _ln_relu(z[:, H:], lns[1:2, :], lnb[1:2, :], out_dtype=dtype)
+        skip_ln = "ln" in ablate
+        z_k = _ln_relu(z[:, :H], lns[0:1, :], lnb[0:1, :], out_dtype=dtype,
+                       skip_ln=skip_ln)
+        z_v = _ln_relu(z[:, H:], lns[1:2, :], lnb[1:2, :], out_dtype=dtype,
+                       skip_ln=skip_ln)
+        if "w2" in ablate:
+            return z_k, z_v[:, : w2_v.shape[-1]]
         k = (jnp.dot(z_k, w2_k, preferred_element_type=jnp.float32) + b2_k).astype(dtype)
         v = (jnp.dot(z_v, w2_v, preferred_element_type=jnp.float32) + b2_v).astype(dtype)
         return k, v
@@ -334,9 +343,14 @@ def _block_kernel(
             erows = pl.ds(ti * TNK, TNK)
             # raw 128-lane neighbor-h gather, computed in-tile: feeding the
             # projection dot directly avoids a [NK, H] scratch round-trip
-            hj = jnp.dot(
-                ocache[erows, :], hbuf[src], preferred_element_type=jnp.float32
-            ).astype(dtype)
+            if "gather" in ablate:  # timing stand-in: destination-row bcast
+                hj = jnp.broadcast_to(
+                    hbuf[src, rows, :][:, None, :], (TI, K, H)
+                ).reshape(TNK, H)
+            else:
+                hj = jnp.dot(
+                    ocache[erows, :], hbuf[src], preferred_element_type=jnp.float32
+                ).astype(dtype)
             feat = ecache[erows, 0:ER]
             hi_kv_rep = jnp.broadcast_to(
                 ni[rows, :][:, None, :], (TI, K, 2 * H)
@@ -345,10 +359,13 @@ def _block_kernel(
                                bp.h_lns[l], bp.h_lnb[l],
                                bp.h_w2k[l], bp.h_b2k[l], bp.h_w2v[l], bp.h_b2v[l])
             nm_t = nmask_ref[0, rows, :].reshape(TI, K, 1)
-            alpha = softmax_of(k, nq[rows, :].astype(dtype), nm_t, TI)
-            alpha128 = jnp.dot(alpha, St, preferred_element_type=jnp.float32)
-            ew1 = lift_rows(ewbuf[rows, :], TI, TNK)
-            av = (alpha128 * ew1 * v.astype(jnp.float32)).astype(dtype)
+            if "soft" in ablate:
+                av = v
+            else:
+                alpha = softmax_of(k, nq[rows, :].astype(dtype), nm_t, TI)
+                alpha128 = jnp.dot(alpha, St, preferred_element_type=jnp.float32)
+                ew1 = lift_rows(ewbuf[rows, :], TI, TNK)
+                av = (alpha128 * ew1 * v.astype(jnp.float32)).astype(dtype)
             out = jnp.dot(SEG, av, preferred_element_type=jnp.float32)
             hbuf[dst, rows, :] = (
                 out + hbuf[src, rows, :].astype(jnp.float32)

@@ -1,10 +1,15 @@
 """Megakernel microbenchmark: time ONE block_denoiser call on the real TPU.
 
-Usage: python tools/kbench.py [N_protein] [tile] [batch] [reps]
+Usage: python tools/kbench.py [N_protein] [tile] [batch] [reps] [ablate,...]
 
-Times the fused denoiser block alone (no sampler glue / kNN), with a true
-device fetch per rep (axon's block_until_ready returns early). One TPU
-process at a time — do not run concurrently with bench.py.
+ablate options (comma-separated; timing attribution only — changes results):
+regeo, x2h, h2x, init, gather, ln, soft, w2
+
+Times the fused denoiser block alone (no sampler glue / kNN). Reps CHAIN
+h_out -> h_in with a single scalar sync at the end: a per-rep
+`np.asarray(out)` fetch costs ~100 ms over the axon tunnel and swamps the
+kernel time (discovered round 3 — all earlier kbench figures carry that
+constant). One TPU process at a time — do not run concurrently with bench.py.
 """
 
 import os
@@ -29,6 +34,7 @@ def main():
     tile = int(sys.argv[2]) if len(sys.argv) > 2 else 104
     B = int(sys.argv[3]) if len(sys.argv) > 3 else 100
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+    ablate = tuple(sys.argv[5].split(",")) if len(sys.argv) > 5 else ()
     NL = 32
     N = NPRO + NL
     K, H, L, heads = 32, 128, 9, 16
@@ -47,27 +53,30 @@ def main():
     mlig = jnp.asarray(np.arange(N)[None, :] >= NPRO).astype(jnp.bool_)
     mlig = jnp.broadcast_to(mlig, (B, N))
 
-    def run():
+    def run(hh):
         return block_denoiser(
-            h, x, idx, nmask, mlig, offsets, ew_p, block_p,
+            hh, x, idx, nmask, mlig, offsets, ew_p, block_p,
             num_layers=L, n_heads=heads, coeff=coeff, dtype=jnp.bfloat16,
-            tile=tile, n_ligand=NL,
+            tile=tile, n_ligand=NL, ablate=ablate,
         )
 
     t0 = time.time()
-    ho, xo = run()
-    np.asarray(xo)
-    print(f"compile+first: {time.time()-t0:.1f}s  (N={N} tile={tile} B={B})")
+    ho, xo = run(h)
+    np.asarray(xo[0, 0, 0])
+    print(f"compile+first: {time.time()-t0:.1f}s  (N={N} tile={tile} B={B} ablate={ablate})")
 
-    times = []
-    for _ in range(reps):
+    rounds = []
+    for _ in range(3):
+        hh = h
         t0 = time.time()
-        ho, xo = run()
-        np.asarray(xo)
-        times.append(time.time() - t0)
-    med = float(np.median(times))
+        for _ in range(reps):
+            ho, xo = run(hh)
+            hh = ho
+        np.asarray(xo[0, 0, 0])  # scalar sync: drains the dispatch queue
+        rounds.append((time.time() - t0) / reps)
+    med = min(rounds)
     print(f"block_denoiser: {med*1e3:.2f} ms/call  ({med/B*1e6:.1f} us/complex)  "
-          f"min={min(times)*1e3:.2f} max={max(times)*1e3:.2f}")
+          f"rounds={[f'{r*1e3:.2f}' for r in rounds]}")
 
 
 if __name__ == "__main__":

@@ -1,8 +1,10 @@
 """Train-step throughput: python tools/trainbench.py [batch] [xla|fast].
 
-Measures one jitted optimizer step (flagship config, 330-atom pockets) with
-a true device fetch per rep. fast = Pallas layers with Pallas backwards
-(ops/pallas/edge_layer_vjp.py). One TPU process at a time.
+Measures jitted optimizer steps (flagship config, 330-atom pockets) in
+CHAINED rounds of 10 with one device fetch per round: a per-rep fetch costs
+~100 ms of axon-tunnel latency and swamped round-2's numbers. fast = Pallas
+layers with Pallas backwards (ops/pallas/edge_layer_vjp.py). One TPU process
+at a time.
 """
 
 import os
@@ -33,9 +35,11 @@ state, m = step(state, b, jax.random.PRNGKey(1))
 np.asarray(m["loss"])
 print(f"compile+first: {time.time()-t0:.1f}s  B={B} impl={impl}")
 times = []
-for i in range(10):
+for r in range(3):
     t0 = time.time()
-    state, m = step(state, b, jax.random.fold_in(jax.random.PRNGKey(2), i))
-    np.asarray(m["loss"])
-    times.append(time.time() - t0)
-print(f"train step B={B} impl={impl}: med {np.median(times)*1e3:.1f} ms  min {min(times)*1e3:.1f}  loss={float(m['loss']):.3f}")
+    for i in range(10):
+        state, m = step(state, b, jax.random.fold_in(jax.random.PRNGKey(2), r * 10 + i))
+    np.asarray(m["loss"])  # one sync per round of 10 chained steps
+    times.append((time.time() - t0) / 10)
+print(f"train step B={B} impl={impl}: best {min(times)*1e3:.1f} ms  "
+      f"rounds={[f'{t*1e3:.1f}' for t in times]}  loss={float(m['loss']):.3f}")

@@ -294,7 +294,7 @@ def fast_forward(
         N_ = h.shape[1]
         NL_ = init_ligand_pos.shape[1]
         K_ = (NL_ - 1 + cfg.knn) if cfg.cutoff_mode == "hybrid" else cfg.knn
-        if not block_denoiser_fits(N_, K_, hidden):
+        if not block_denoiser_fits(N_, K_, hidden, n_ligand=NL_):
             mode = "layers"
     if mode == "mega":
         ew_p, block_p = extract_block_params(

@@ -38,8 +38,16 @@ structure that follows:
   * the global edge weights e_w (sigmoid MLP of block-start distances,
     reference models/uni_transformer.py:312-318) are computed once into a
     [N, K] scratch and reused by every layer.
-  * LayerNorm mean/var as MXU matmuls with a ones vector; K-axis softmax
-    aggregation as [TI, TI*K] segment-matrix matmuls.
+  * x2h softmax is SHIFT-FREE and LANE-REPLICATED (round 3): logits come
+    out of `prod @ S128` (block-diagonal head-sum) already replicated
+    across each head's dh lanes; exp runs on +-40-clipped logits (a
+    per-head shift cancels in num/den, and measured exp cost is ~0.2 ms);
+    numerator AND denominator aggregate over K through the same full-width
+    [TI, TI*K] segment matmul, normalizing once after aggregation. The
+    head-compact [*, 16] formulation's narrow dots ran at ~12% MXU
+    utilization and cost 2x the rest of the softmax.
+  * LayerNorm stats as plain lane reductions — they beat narrow [H, 8]
+    ones-matmuls by 2.3 ms/call (lnred duel).
 """
 
 from __future__ import annotations
@@ -110,17 +118,29 @@ class EwParams(NamedTuple):
     b2: jnp.ndarray
 
 
-def _ln_relu(x, scale, bias, eps=1e-5, out_dtype=None, skip_ln=False):
-    """LayerNorm + relu; mean/mean-square reductions as MXU matmuls."""
+def _ln_relu(x, scale, bias, eps=1e-5, out_dtype=None, skip_ln=False,
+             mode="dots8"):
+    """LayerNorm + relu. mode: 'dots8' narrow [H,8] ones-matmul stats,
+    'full' full-width bf16 [H,H] ones-matmul stats (lane-replicated),
+    'reduce' plain lane reductions."""
     xf = x.astype(jnp.float32)
     if skip_ln:  # ablation timing stand-in
         out = jnp.maximum(xf * scale + bias, 0.0)
         return out if out_dtype is None else out.astype(out_dtype)
     H = xf.shape[-1]
-    ones2 = jnp.ones((H, 8), jnp.float32) / H
-    x2 = xf * xf
-    mean = jnp.dot(xf, ones2, preferred_element_type=jnp.float32)[:, :1]
-    m2 = jnp.dot(x2, ones2, preferred_element_type=jnp.float32)[:, :1]
+    if mode == "full":
+        x16 = xf.astype(jnp.bfloat16)
+        onesH = jnp.full((H, H), 1.0 / H, jnp.bfloat16)
+        mean = jnp.dot(x16, onesH, preferred_element_type=jnp.float32)
+        m2 = jnp.dot(x16 * x16, onesH, preferred_element_type=jnp.float32)
+    elif mode == "reduce":
+        mean = xf.mean(-1, keepdims=True)
+        m2 = (xf * xf).mean(-1, keepdims=True)
+    else:
+        ones2 = jnp.ones((H, 8), jnp.float32) / H
+        x2 = xf * xf
+        mean = jnp.dot(xf, ones2, preferred_element_type=jnp.float32)[:, :1]
+        m2 = jnp.dot(x2, ones2, preferred_element_type=jnp.float32)[:, :1]
     var = jnp.maximum(m2 - mean * mean, 0.0)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     out = jnp.maximum(y * scale + bias, 0.0)
@@ -133,8 +153,8 @@ def _block_kernel(
     h_ref, x_ref, idx_ref, nmask_ref, mlig_ref, offsets_ref,
     ewp: EwParams, bp: BlockParams,
     hout_ref, xout_ref,
-    hbuf, xfull, dnode, ewbuf, ecache, e4rep, relc, ocache, olcache,
-    dlig, ni, nq,
+    hbuf, xfull, dnode, ewbuf, ecache, e4rep, relc, ocache,
+    dlig, ni, nq, olcache=None,
     *, N, H, K, L, n_heads, coeff, dtype, TI, NLIG, ablate=(),
 ):
     NK = N * K
@@ -147,10 +167,23 @@ def _block_kernel(
     NPAD = N - NLIG  # ligand rows sit at the tail of the composed layout
     TL0 = NPAD // TI  # first tile index containing ligand rows
 
+    # plain lane-reduction LN stats beat the narrow [H,8] ones-matmuls by
+    # 2.3 ms/call (lnred duel); 'lndots' restores the old mode for duels
+    ln_mode = ("dots8" if "lndots" in ablate
+               else "full" if "lnfull" in ablate else "reduce")
     lane = jax.lax.broadcasted_iota(jnp.int32, (H, n_heads), 0)
     headi = jax.lax.broadcasted_iota(jnp.int32, (H, n_heads), 1)
-    S = (lane // dh == headi).astype(dtype)  # [H, heads]
-    St = S.T.astype(jnp.float32)
+    # logits dot absorbs the 1/sqrt(dh) attention scale
+    S = jnp.where(lane // dh == headi, 1.0 / math.sqrt(dh), 0.0).astype(dtype)
+    # block-diagonal head-sum-and-replicate: lg128 = prod @ S128 yields each
+    # head's logit replicated across its dh lanes. Narrow [*,16] dots
+    # (head-compact logits + the St head->lane lift) ran at ~12% MXU
+    # utilization and cost 2x the whole rest of the softmax (measured
+    # sa_den/sa_e128 ablations); full-width [H,H] keeps every dot square.
+    lane_j = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (H, H), 0)
+    S128 = jnp.where(lane_i // dh == lane_j // dh, 1.0 / math.sqrt(dh), 0.0
+                     ).astype(dtype)
 
     hbuf[0] = h_ref[0].astype(dtype)
     xfull[:, :] = x_ref[0].astype(jnp.float32)
@@ -184,8 +217,16 @@ def _block_kernel(
             jnp.where(src_lig & ~dst_lig, 1, jnp.where(~src_lig & dst_lig, 2, 3)),
         ).astype(jnp.int32)
 
+    sC = math.sqrt(-coeff) if coeff < 0 else None
+    offs_s = None if sC is None else offsets_ref[:] * sC
+
     def rbf_of(dist):
-        return jnp.exp(coeff * (dist - offsets_ref[:]) ** 2)  # [tnk, R=20]
+        # exp(coeff*(d-o)^2) == exp(-(s*d - s*o)^2) with s = sqrt(-coeff):
+        # scaling d once on the [*, 1] lane saves a full [*, R] multiply
+        if sC is None:
+            return jnp.exp(coeff * (dist - offsets_ref[:]) ** 2)
+        u = dist * sC - offs_s
+        return jnp.exp(u * (-u))  # [tnk, R=20]
 
     def feat_store(erows, rel, rbf, tnk):
         """Refresh the rbf-dependent 80 lanes of ecache:
@@ -206,14 +247,15 @@ def _block_kernel(
         iota = jax.lax.broadcasted_iota(jnp.int32, (TI, K, N), 2)
         oh = (idx_t[:, :, None] == iota).astype(dtype).reshape(TNK, N)
         ocache[erows, :] = oh
-        # ligand-only one-hot (lane = idx - (N - NLIG)); geometry updates
-        # later in the block gather ONLY ligand deltas through this
-        iotaL = jax.lax.broadcasted_iota(jnp.int32, (TI, K, 128), 2)
-        ridx = idx_t - NPAD
-        ohl = ((ridx[:, :, None] == iotaL) & (ridx[:, :, None] >= 0)).astype(
-            dtype
-        ).reshape(TNK, 128)
-        olcache[erows, :] = ohl
+        if olcache is not None:
+            # ligand-only one-hot (lane = idx - NPAD); only needed when the
+            # ligand tail is not 128-aligned in ocache (NPAD % 128 != 0)
+            iotaL = jax.lax.broadcasted_iota(jnp.int32, (TI, K, 128), 2)
+            ridx = idx_t - NPAD
+            ohl = ((ridx[:, :, None] == iotaL) & (ridx[:, :, None] >= 0)).astype(
+                dtype
+            ).reshape(TNK, 128)
+            olcache[erows, :] = ohl
         # static per-block et features: the 4-lane one-hot tail of ecache
         # and the 80-lane group-replication mask for the rbf outer product
         et2d = etype_of(idx_t, ti * TI)
@@ -249,7 +291,7 @@ def _block_kernel(
         )
         relc[erows, 0:3] = rel
         z = jnp.dot(rbf.astype(dtype), ewp.w1[:], preferred_element_type=jnp.float32) + ewp.b1[:]
-        z = _ln_relu(z, ewp.lns[:], ewp.lnb[:], out_dtype=dtype)
+        z = _ln_relu(z, ewp.lns[:], ewp.lnb[:], out_dtype=dtype, mode=ln_mode)
         logit = jnp.dot(z, ewp.w2[:], preferred_element_type=jnp.float32) + ewp.b2[:]
         ewbuf[rows, :] = jax.nn.sigmoid(logit).reshape(TI, K)
         return 0
@@ -263,7 +305,7 @@ def _block_kernel(
         (last H lanes), then the query LN + second matmul."""
         z3 = jnp.dot(h_all, w1iq, preferred_element_type=jnp.float32) + b1q
         ni[:, :] = z3[:, : 2 * H]
-        z = _ln_relu(z3[:, 2 * H :], qlns, qlnb, out_dtype=dtype)
+        z = _ln_relu(z3[:, 2 * H :], qlns, qlnb, out_dtype=dtype, mode=ln_mode)
         nq[:, :] = jnp.dot(z, qw2, preferred_element_type=jnp.float32) + qb2
 
     def edge_mlp_kv(hj, feat, hi_kv_rep, w1er, w1j,
@@ -277,9 +319,9 @@ def _block_kernel(
         )
         skip_ln = "ln" in ablate
         z_k = _ln_relu(z[:, :H], lns[0:1, :], lnb[0:1, :], out_dtype=dtype,
-                       skip_ln=skip_ln)
+                       skip_ln=skip_ln, mode=ln_mode)
         z_v = _ln_relu(z[:, H:], lns[1:2, :], lnb[1:2, :], out_dtype=dtype,
-                       skip_ln=skip_ln)
+                       skip_ln=skip_ln, mode=ln_mode)
         if "w2" in ablate:
             return z_k, z_v[:, : w2_v.shape[-1]]
         k = (jnp.dot(z_k, w2_k, preferred_element_type=jnp.float32) + b2_k).astype(dtype)
@@ -292,12 +334,49 @@ def _block_kernel(
             q_tile[:, None, :], (tl, K, H)
         ).reshape(tlk, H)
         prod = k * q_rep
-        logits = jnp.dot(prod, S, preferred_element_type=jnp.float32) / math.sqrt(dh)
+        logits = jnp.dot(prod, S, preferred_element_type=jnp.float32)
         lg = jnp.where(nm_t > 0, logits.reshape(tl, K, n_heads), NEG)
         mx = lg.max(axis=1, keepdims=True)
         e = jnp.exp(lg - mx) * nm_t
         den = e.sum(axis=1, keepdims=True)
         return (e / jnp.maximum(den, 1e-16)).reshape(tlk, n_heads)
+
+    def att_out(k, v, q_tile, nm_tile, ew_tile):
+        """x2h attention output [TI, H] in the SHIFT-FREE, LANE-REPLICATED
+        formulation. Any uniform per-head shift cancels in num/den, so exp
+        runs directly on +-40-clipped logits (exact vs the XLA path for any
+        trained-scale logit magnitude; measured exp cost ~0.2 ms of a 75 ms
+        call). Logits come out of `prod @ S128` already replicated across
+        each head's dh lanes, so the numerator AND the softmax denominator
+        both aggregate over K through the same full-width SEG segment
+        matmul, and normalization is one [TI, H] division after
+        aggregation. No 16-lane tensor is ever materialized."""
+        if "sa_qrep" in ablate:  # timing stand-in
+            prod = k
+        else:
+            q_rep = jnp.broadcast_to(
+                q_tile[:, None, :], (TI, K, H)
+            ).reshape(TNK, H)
+            prod = k * q_rep
+        if "sa_lg" in ablate:  # timing stand-in
+            lg = prod.astype(jnp.float32)
+        else:
+            lg = jnp.dot(prod, S128, preferred_element_type=jnp.float32)
+        nm1 = lift_rows(nm_tile, TI, TNK)
+        g = jnp.exp(jnp.clip(lg, -40.0, 40.0)) * nm1
+        if "sa_avm" in ablate:  # timing stand-in
+            av = v
+        else:
+            ew1 = lift_rows(ew_tile, TI, TNK)
+            av = (g * ew1 * v.astype(jnp.float32)).astype(dtype)
+        out_un = jnp.dot(SEG, av, preferred_element_type=jnp.float32)
+        if "sa_den" in ablate:  # timing stand-in
+            return out_un
+        # (merging num+den into one SEG dot via [av | g] concat measured
+        # ~1 ms WORSE — the [TNK, 2H] concat copy outweighs the saved dot)
+        den128 = jnp.dot(SEG, g.astype(dtype),
+                         preferred_element_type=jnp.float32)
+        return out_un / jnp.maximum(den128, 1e-30)
 
     def layer_body(l, _):
         src = jax.lax.rem(l, 2)
@@ -306,7 +385,10 @@ def _block_kernel(
         # geometry changed in the previous layer's h2x — but ONLY ligand
         # atoms move, so the update gathers just the [NLIG] delta block
         # (written into dnode by h2x) through the 128-lane ligand one-hot:
-        # rel' = rel + d_i - oh_lig @ d_lig
+        # rel' = rel + d_i - oh_lig @ d_lig. NOTE a separate loop is the
+        # MEASURED optimum: fusing this refresh into the x2h tile body
+        # (to overlap with the gather matmul) regressed 67 -> 106 ms/call —
+        # the in-tile ecache store->load hazard serializes the whole body.
         @pl.when(jnp.logical_and(l > 0, "regeo" not in ablate))
         def _():
             dl = dnode[NPAD:N, 0:3]
@@ -315,24 +397,43 @@ def _block_kernel(
             dlig[0:NLIG, 0:3] = d_hi.astype(jnp.float32)
             dlig[0:NLIG, 8:11] = d_lo.astype(jnp.float32)
 
-            def regeo_tile(ti, _):
+            def regeo_tile(ti, _, with_di):
                 rows = pl.ds(ti * TI, TI)
                 erows = pl.ds(ti * TNK, TNK)
                 rel_old = relc[erows, 0:3]
-                ohl = olcache[erows, :]
-                dj2 = jnp.dot(ohl, dlig[:, :].astype(dtype),
+                if olcache is None:
+                    # the ligand one-hot IS ocache's 128-aligned tail slice
+                    ohl = ocache[erows, NPAD:N]  # [tnk, NLIG]
+                    dop = dlig[0:NLIG, :]
+                else:
+                    ohl = olcache[erows, :]
+                    dop = dlig[:, :]
+                dj2 = jnp.dot(ohl, dop.astype(dtype),
                               preferred_element_type=jnp.float32)
                 dj = dj2[:, 0:3] + dj2[:, 8:11]
-                d_rows = dnode[rows, 0:3]  # zero for protein rows
-                di = jnp.broadcast_to(
-                    d_rows[:, None, :], (TI, K, 3)
-                ).reshape(TNK, 3)
-                rel = rel_old + di - dj
+                if with_di:
+                    d_rows = dnode[rows, 0:3]  # zero for protein rows
+                    di = jnp.broadcast_to(
+                        d_rows[:, None, :], (TI, K, 3)
+                    ).reshape(TNK, 3)
+                    rel = rel_old + di - dj
+                else:
+                    # pure-protein destination tiles: di == 0 by construction
+                    rel = rel_old - dj
                 dist = jnp.sqrt((rel * rel).sum(-1, keepdims=True) + 1e-16)
                 feat_store(erows, rel, rbf_of(dist), TNK)
                 return 0
 
-            jax.lax.fori_loop(0, T, regeo_tile, 0, unroll=False)
+            # tiles fully below the ligand tail never have a destination
+            # delta — skip the di broadcast there
+            jax.lax.fori_loop(
+                0, TL0, functools.partial(regeo_tile, with_di=False), 0,
+                unroll=False,
+            )
+            jax.lax.fori_loop(
+                TL0, T, functools.partial(regeo_tile, with_di=True), 0,
+                unroll=False,
+            )
 
         # ---- pass A: x2h (consumes hjc gathered from this layer's h) ----
         stage_node(hbuf[src], bp.h_w1iq[l], bp.h_b1q[l],
@@ -358,15 +459,11 @@ def _block_kernel(
             k, v = edge_mlp_kv(hj, feat, hi_kv_rep, bp.h_w1er[l], bp.h_w1j[l],
                                bp.h_lns[l], bp.h_lnb[l],
                                bp.h_w2k[l], bp.h_b2k[l], bp.h_w2v[l], bp.h_b2v[l])
-            nm_t = nmask_ref[0, rows, :].reshape(TI, K, 1)
             if "soft" in ablate:
-                av = v
+                out = jnp.dot(SEG, v, preferred_element_type=jnp.float32)
             else:
-                alpha = softmax_of(k, nq[rows, :].astype(dtype), nm_t, TI)
-                alpha128 = jnp.dot(alpha, St, preferred_element_type=jnp.float32)
-                ew1 = lift_rows(ewbuf[rows, :], TI, TNK)
-                av = (alpha128 * ew1 * v.astype(jnp.float32)).astype(dtype)
-            out = jnp.dot(SEG, av, preferred_element_type=jnp.float32)
+                out = att_out(k, v, nq[rows, :].astype(dtype),
+                              nmask_ref[0, rows, :], ewbuf[rows, :])
             hbuf[dst, rows, :] = (
                 out + hbuf[src, rows, :].astype(jnp.float32)
             ).astype(dtype)
@@ -418,7 +515,14 @@ def _block_kernel(
     xout_ref[0] = xfull[:, :]
 
 
-def estimate_vmem_bytes(N: int, K: int, H: int = 128) -> int:
+def _needs_olcache(N: int, n_ligand: int) -> bool:
+    """The regeo ligand-delta gather can reuse ocache's tail columns as its
+    one-hot iff the ligand block starts on a 128-lane tile boundary;
+    otherwise a separate [N*K, 128] ligand one-hot cache is allocated."""
+    return (N - n_ligand) % 128 != 0
+
+
+def estimate_vmem_bytes(N: int, K: int, H: int = 128, n_ligand: int = 32) -> int:
     """Scratch VMEM the megakernel needs for one complex (dominated by the
     [N*K, N] one-hot cache). Used to gate the 'mega' path before Mosaic
     fails to allocate (ADVICE r2: hybrid-mode N=704/K=95 wants ~94 MB for
@@ -430,10 +534,10 @@ def estimate_vmem_bytes(N: int, K: int, H: int = 128) -> int:
         + N * 8 * 4  # dnode f32
         + N * K * 4  # ewbuf
         + NK * 128 * 2  # ecache bf16
-        + NK * 128 * 2  # e4rep bf16
+        + NK * 128 * 2  # e4rep (static et masks) bf16
         + NK * 8 * 4  # relc f32
         + NK * N * 2  # ocache bf16
-        + NK * 128 * 2  # olcache bf16
+        + (NK * 128 * 2 if _needs_olcache(N, n_ligand) else 0)  # olcache
         + 128 * 16 * 4  # dlig
         + N * 2 * H * 4  # ni f32
         + N * H * 4  # nq f32
@@ -445,8 +549,8 @@ def estimate_vmem_bytes(N: int, K: int, H: int = 128) -> int:
 VMEM_SCRATCH_BUDGET = 72 * 1024 * 1024
 
 
-def block_denoiser_fits(N: int, K: int, H: int = 128) -> bool:
-    return estimate_vmem_bytes(N, K, H) <= VMEM_SCRATCH_BUDGET
+def block_denoiser_fits(N: int, K: int, H: int = 128, n_ligand: int = 32) -> bool:
+    return estimate_vmem_bytes(N, K, H, n_ligand) <= VMEM_SCRATCH_BUDGET
 
 
 @functools.partial(
@@ -462,10 +566,10 @@ def block_denoiser(
 ):
     B, N, H = h.shape
     K = idx.shape[-1]
-    if not interpret and not block_denoiser_fits(N, K, H):
+    if not interpret and not block_denoiser_fits(N, K, H, n_ligand):
         raise ValueError(
             f"block_denoiser scratch VMEM estimate "
-            f"{estimate_vmem_bytes(N, K, H) >> 20} MB exceeds the "
+            f"{estimate_vmem_bytes(N, K, H, n_ligand) >> 20} MB exceeds the "
             f"{VMEM_SCRATCH_BUDGET >> 20} MB budget at N={N}, K={K} "
             f"(the [N*K, N] one-hot cache dominates); use the per-layer "
             f"'layers' mode for this shape"
@@ -535,11 +639,12 @@ def block_denoiser(
             pltpu.VMEM((N * K, 128), dtype),  # e4rep (static et masks)
             pltpu.VMEM((N * K, 8), jnp.float32),  # relc
             pltpu.VMEM((N * K, N), dtype),  # ocache
-            pltpu.VMEM((N * K, 128), dtype),  # olcache
             pltpu.VMEM((128, 16), jnp.float32),  # dlig
             pltpu.VMEM((N, 2 * H), jnp.float32),  # ni
             pltpu.VMEM((N, H), jnp.float32),  # nq
-        ],
+        ]
+        + ([pltpu.VMEM((N * K, 128), dtype)]  # olcache (unaligned tail only)
+           if _needs_olcache(N, NLIG) else []),
         interpret=interpret,
     )(
         h, x.astype(jnp.float32), idx.astype(jnp.int32),

@@ -1,7 +1,10 @@
 """Megakernel phase-ablation sweep: time block_denoiser under each ablate
 config in ONE process (each variant pays its own remote compile).
 
-Usage: python tools/kablate.py [N_protein] [tile] [batch] [reps]
+Usage: python tools/kablate.py [N_protein] [tile] [batch] [reps] [cfgs]
+
+cfgs: semicolon-separated ablate configs (e.g. "base;soft;ln,init"),
+overriding the default sweep. "base" = no ablation.
 
 Timing methodology (round 3): the naive per-rep `np.asarray(out)` fetch
 costs ~100 ms over the axon tunnel and swamped every prior kbench number.
@@ -58,6 +61,12 @@ def main():
     tile = int(sys.argv[2]) if len(sys.argv) > 2 else 104
     B = int(sys.argv[3]) if len(sys.argv) > 3 else 100
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+    configs = CONFIGS
+    if len(sys.argv) > 5:
+        configs = [
+            () if c == "base" else tuple(c.split(","))
+            for c in sys.argv[5].split(";")
+        ]
     NL = 32
     N = NPRO + NL
     K, H, L, heads = 32, 128, 9, 16
@@ -77,7 +86,7 @@ def main():
     mlig = jnp.broadcast_to(mlig, (B, N))
 
     base = None
-    for ab in CONFIGS:
+    for ab in configs:
         def run(hh):
             return block_denoiser(
                 hh, x, idx, nmask, mlig, offsets, ew_p, block_p,

@@ -75,7 +75,7 @@ def extract_layer_params(block: Dict, hidden_dim: int, num_r_gaussian: int):
 
 
 def extract_block_params(rp: Dict, num_layers: int, hidden: int, num_r_gaussian: int,
-                         dtype=jnp.bfloat16):
+                         dtype=jnp.bfloat16, n_heads: int = 16):
     """Stack per-layer flax params into the megakernel's [L, ...] layout,
     merging each pass's k|v MLP pair along the output axis and reordering
     the edge-feature rows to the kernel's [Wr (4R) | We (4)] lane layout
@@ -92,7 +92,7 @@ def extract_block_params(rp: Dict, num_layers: int, hidden: int, num_r_gaussian:
         # rows reordered to ecache's [rbf-x-et | et] lane order
         return jnp.concatenate([wr, we], axis=0), w1i, w1j
 
-    def stack_edge_pair(k_name, v_name, q_name, sub):
+    def stack_edge_pair(k_name, v_name, q_name, sub, rep_v=1):
         w1er, w1j, w1iq, b1q, lns, lnb = [], [], [], [], [], []
         w2k, b2k, w2v, b2v = [], [], [], []
         for l in range(num_layers):
@@ -117,8 +117,11 @@ def extract_block_params(rp: Dict, num_layers: int, hidden: int, num_r_gaussian:
                 [mk["norm_0"]["bias"], mv["norm_0"]["bias"]]))
             w2k.append(mk["lin_1"]["kernel"])
             b2k.append(mk["lin_1"]["bias"][None])
-            w2v.append(mv["lin_1"]["kernel"])
-            b2v.append(mv["lin_1"]["bias"][None])
+            # rep_v > 1: replicate each value-head column across its dh
+            # lanes so the megakernel's h2x value tensor is full-width
+            # (narrow [H, 16] dots run at ~12% MXU utilization)
+            w2v.append(jnp.repeat(mv["lin_1"]["kernel"], rep_v, axis=1))
+            b2v.append(jnp.repeat(mv["lin_1"]["bias"], rep_v)[None])
         f32 = jnp.float32
         return (
             jnp.stack(w1er).astype(dtype), jnp.stack(w1j).astype(dtype),
@@ -146,7 +149,7 @@ def extract_block_params(rp: Dict, num_layers: int, hidden: int, num_r_gaussian:
     bp = BlockParams(
         *stack_edge_pair("hk", "hv", "hq", "x2h_0"),
         *stack_mlp_node_tail("hq", "x2h_0"),
-        *stack_edge_pair("xk", "xv", "xq", "h2x_0"),
+        *stack_edge_pair("xk", "xv", "xq", "h2x_0", rep_v=hidden // n_heads),
         *stack_mlp_node_tail("xq", "h2x_0"),
     )
     ep = rp["edge_pred_layer"]
@@ -298,7 +301,8 @@ def fast_forward(
             mode = "layers"
     if mode == "mega":
         ew_p, block_p = extract_block_params(
-            rp, cfg.num_layers, hidden, cfg.num_r_gaussian, dtype=dtype
+            rp, cfg.num_layers, hidden, cfg.num_r_gaussian, dtype=dtype,
+            n_heads=cfg.n_heads,
         )
     else:
         layer_params = [

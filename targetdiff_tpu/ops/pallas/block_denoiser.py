@@ -75,7 +75,8 @@ class BlockParams(NamedTuple):
       *_lns / *_lnb [L, 2, H]  LayerNorm affine, k|v stacked on sublanes
       *_w2k  [L, H, H], *_b2k [L, 1, H]
       h_w2v  [L, H, H], h_b2v [L, 1, H]     (x2h value head)
-      x_w2v  [L, H, 16], x_b2v [L, 1, 16]   (h2x per-head scalar head)
+      x_w2v  [L, H, H], x_b2v [L, 1, H]     (h2x head-scalar columns
+                                             replicated across dh lanes)
       *q_*   query-MLP params (unchanged layout)
     """
 
@@ -171,10 +172,6 @@ def _block_kernel(
     # 2.3 ms/call (lnred duel); 'lndots' restores the old mode for duels
     ln_mode = ("dots8" if "lndots" in ablate
                else "full" if "lnfull" in ablate else "reduce")
-    lane = jax.lax.broadcasted_iota(jnp.int32, (H, n_heads), 0)
-    headi = jax.lax.broadcasted_iota(jnp.int32, (H, n_heads), 1)
-    # logits dot absorbs the 1/sqrt(dh) attention scale
-    S = jnp.where(lane // dh == headi, 1.0 / math.sqrt(dh), 0.0).astype(dtype)
     # block-diagonal head-sum-and-replicate: lg128 = prod @ S128 yields each
     # head's logit replicated across its dh lanes. Narrow [*,16] dots
     # (head-compact logits + the St head->lane lift) ran at ~12% MXU
@@ -199,6 +196,7 @@ def _block_kernel(
     segl_row = jax.lax.broadcasted_iota(jnp.int32, (NLIG, LK), 0)
     segl_col = jax.lax.broadcasted_iota(jnp.int32, (NLIG, LK), 1)
     SEGLf = (segl_col // K == segl_row).astype(jnp.float32)  # [NLIG, LK]
+    SEGL = SEGLf.astype(dtype)
 
     def lift_rows(v2, rows_n, tnk):  # [rows_n, K] -> [tnk, 1]
         return jnp.broadcast_to(v2[:, :, None], (rows_n, K, 8)).reshape(tnk, 8)[:, :1]
@@ -327,19 +325,6 @@ def _block_kernel(
         k = (jnp.dot(z_k, w2_k, preferred_element_type=jnp.float32) + b2_k).astype(dtype)
         v = (jnp.dot(z_v, w2_v, preferred_element_type=jnp.float32) + b2_v).astype(dtype)
         return k, v
-
-    def softmax_of(k, q_tile, nm_t, tl):
-        tlk = tl * K
-        q_rep = jnp.broadcast_to(
-            q_tile[:, None, :], (tl, K, H)
-        ).reshape(tlk, H)
-        prod = k * q_rep
-        logits = jnp.dot(prod, S, preferred_element_type=jnp.float32)
-        lg = jnp.where(nm_t > 0, logits.reshape(tl, K, n_heads), NEG)
-        mx = lg.max(axis=1, keepdims=True)
-        e = jnp.exp(lg - mx) * nm_t
-        den = e.sum(axis=1, keepdims=True)
-        return (e / jnp.maximum(den, 1e-16)).reshape(tlk, n_heads)
 
     def att_out(k, v, q_tile, nm_tile, ew_tile):
         """x2h attention output [TI, H] in the SHIFT-FREE, LANE-REPLICATED
@@ -495,12 +480,24 @@ def _block_kernel(
         k, v16 = edge_mlp_kv(hj, feat, hi_kv_rep, bp.x_w1er[l], bp.x_w1j[l],
                              bp.x_lns[l], bp.x_lnb[l],
                              bp.x_w2k[l], bp.x_b2k[l], bp.x_w2v[l], bp.x_b2v[l])
-        nm_t = nmask_ref[0, lrows, :].reshape(NLIG, K, 1)
-        alpha = softmax_of(k, nq[lrows, :].astype(dtype), nm_t, NLIG)
+        # same shift-free lane-replicated attention as x2h: v's [H, 16]
+        # head-scalar columns are replicated to 128 lanes at param-stack
+        # time (extract_block_params), so no 16-lane tensor appears here
+        q_rep = jnp.broadcast_to(
+            nq[lrows, :].astype(dtype)[:, None, :], (NLIG, K, H)
+        ).reshape(LK, H)
+        lg = jnp.dot(k * q_rep, S128, preferred_element_type=jnp.float32)
+        nm1 = lift_rows(nmask_ref[0, lrows, :], NLIG, LK)
+        g = jnp.exp(jnp.clip(lg, -40.0, 40.0)) * nm1
+        denL = jnp.dot(SEGL, g.astype(dtype),
+                       preferred_element_type=jnp.float32)  # [NLIG, H]
+        den_rep = jnp.broadcast_to(
+            denL[:, None, :], (NLIG, K, H)
+        ).reshape(LK, H)
         ew1 = lift_rows(ewbuf[lrows, :], NLIG, LK)
-        s = (alpha * (v16.astype(jnp.float32) * ew1)).sum(
-            axis=-1, keepdims=True
-        ) / n_heads
+        w = g / jnp.maximum(den_rep, 1e-30) * ew1
+        # sum over all H lanes counts each head dh times -> /H not /n_heads
+        s = (w * v16.astype(jnp.float32)).sum(-1, keepdims=True) / H
         sr = s * rel
         delta = jnp.dot(SEGLf, sr, preferred_element_type=jnp.float32)
         delta = delta * mlig_ref[0, lrows, :]  # padded ligand rows stay put

@@ -158,7 +158,9 @@ def extract_block_params(rp: Dict, num_layers: int, hidden: int, num_r_gaussian:
         b1=ep["lin_0"]["bias"][None].astype(jnp.float32),
         lns=ep["norm_0"]["scale"][None].astype(jnp.float32),
         lnb=ep["norm_0"]["bias"][None].astype(jnp.float32),
-        w2=ep["lin_1"]["kernel"].astype(dtype),
+        # [H, 1] logit column replicated to full lane width (narrow-output
+        # dots run the MXU at ~12% utilization); the kernel slices lane 0
+        w2=jnp.repeat(ep["lin_1"]["kernel"], hidden, axis=1).astype(dtype),
         b2=ep["lin_1"]["bias"][None].astype(jnp.float32),
     )
     return ew, bp

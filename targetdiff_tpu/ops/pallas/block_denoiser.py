@@ -272,8 +272,10 @@ def _block_kernel(
         x_hi = x_cur.astype(dtype)
         x_lo = (x_cur - x_hi.astype(jnp.float32)).astype(dtype)
         xhl = jnp.concatenate(
-            [x_hi, jnp.zeros((N, 5), dtype), x_lo, jnp.zeros((N, 5), dtype)], 1
-        )  # [N,16]: one oh read serves both halves
+            [x_hi, jnp.zeros((N, 5), dtype), x_lo, jnp.zeros((N, 5), dtype)]
+            * 8, 1
+        )  # [N,128]: hi|lo halves tiled to full lane width (narrow-output
+        # gather dots run the MXU at ~12% utilization)
         xj2 = jnp.dot(oh, xhl, preferred_element_type=jnp.float32)
         xj = xj2[:, 0:3] + xj2[:, 8:11]
         xi = jnp.broadcast_to(
@@ -290,7 +292,10 @@ def _block_kernel(
         relc[erows, 0:3] = rel
         z = jnp.dot(rbf.astype(dtype), ewp.w1[:], preferred_element_type=jnp.float32) + ewp.b1[:]
         z = _ln_relu(z, ewp.lns[:], ewp.lnb[:], out_dtype=dtype, mode=ln_mode)
-        logit = jnp.dot(z, ewp.w2[:], preferred_element_type=jnp.float32) + ewp.b2[:]
+        # ewp.w2 arrives lane-replicated [H, H] (see extract_block_params);
+        # every output lane holds the same logit — slice lane 0
+        logit = jnp.dot(z, ewp.w2[:], preferred_element_type=jnp.float32
+                        )[:, 0:1] + ewp.b2[:]
         ewbuf[rows, :] = jax.nn.sigmoid(logit).reshape(TI, K)
         return 0
 
@@ -393,7 +398,11 @@ def _block_kernel(
                 else:
                     ohl = olcache[erows, :]
                     dop = dlig[:, :]
-                dj2 = jnp.dot(ohl, dop.astype(dtype),
+                # 16 output lanes run the MXU at ~12% utilization; tiling
+                # the [*,16] delta operand to 128 lanes is ~free and makes
+                # the dot full-width (the hi/lo pattern repeats every 16)
+                dop8 = jnp.concatenate([dop.astype(dtype)] * 8, axis=1)
+                dj2 = jnp.dot(ohl, dop8,
                               preferred_element_type=jnp.float32)
                 dj = dj2[:, 0:3] + dj2[:, 8:11]
                 if with_di:
@@ -455,6 +464,8 @@ def _block_kernel(
             return 0
 
         if "x2h" not in ablate:
+            # (pairwise manual unroll measured 2.8 ms WORSE — Mosaic does
+            # not cross-schedule independent tiles; keep one tile per iter)
             jax.lax.fori_loop(0, T, x2h_tile, 0, unroll=False)
 
         # ---- pass B: h2x, LIGAND-destination rows only ----

@@ -390,14 +390,17 @@ def fast_train_forward(
     ligand_v: jnp.ndarray,
     num_classes: int,
     interpret: bool = False,
+    dtype=jnp.float32,
 ) -> Dict[str, jnp.ndarray]:
     """DIFFERENTIABLE fused-kernel forward for training (VERDICT round-1
     item 3): the attention layers run as Pallas kernels with hand-written
     Pallas backwards (ops/pallas/edge_layer_vjp.py); embeddings, the kNN
     graph (integer indices — no gradient), the global edge-weight MLP and
     the v_inference head stay in XLA so their parameter gradients flow by
-    autodiff. f32 layer compute: gradients match the XLA path tightly
-    (tests/test_fast_train.py)."""
+    autodiff. dtype=float32 (default): gradients match the XLA path tightly
+    (tests/test_fast_train.py). dtype=bfloat16 is the bf16 training variant:
+    heavy dots in bf16 with f32 accumulation/residuals in both directions
+    (the activation stream between layers stays f32)."""
     cfg = config
     ok, reason = fast_forward_supported(cfg)
     if not ok:
@@ -466,11 +469,11 @@ def fast_train_forward(
         for px, ph in layer_params:
             h = x2h_layer_trainable(
                 h, x, nbh.idx, nbh.mask, etype, e_w, offsets, px,
-                cfg.n_heads, coeff, interpret,
+                cfg.n_heads, coeff, interpret, dtype,
             )
             x = h2x_layer_trainable(
                 h, x, nbh.idx, nbh.mask, etype, e_w, mask_ligand, offsets, ph,
-                cfg.n_heads, coeff, interpret, NL,
+                cfg.n_heads, coeff, interpret, NL, dtype,
             )
 
     final_ligand_h = h[:, NP:, :]

@@ -300,7 +300,9 @@ class DiffusionModel:
         """(reference: models/molopt_score_model.py:485-563).
 
         impl='fast' runs the denoiser layers as Pallas kernels with
-        hand-written Pallas backwards (training fast path)."""
+        hand-written Pallas backwards (training fast path, f32 — exact);
+        impl='fast_bf16' is the bf16 training variant (heavy dots bf16,
+        f32 accumulation/residuals both directions)."""
         B = batch.num_graphs
         lmask = batch.ligand_mask
         protein_pos, ligand_pos, _ = D.center_pos_protein(
@@ -321,13 +323,14 @@ class DiffusionModel:
             self.v_sched, key_v, log_ligand_v0, time_step, self.num_classes
         )
 
-        if impl == "fast":
+        if impl in ("fast", "fast_bf16"):
             from .fast_forward import fast_train_forward
 
             interpret = jax.default_backend() not in ("tpu", "axon")
             preds = fast_train_forward(
                 self.config, params, cbatch, ligand_pos_perturbed,
                 ligand_v_perturbed, self.num_classes, interpret=interpret,
+                dtype=jnp.bfloat16 if impl == "fast_bf16" else jnp.float32,
             )
         else:
             preds = self.apply(

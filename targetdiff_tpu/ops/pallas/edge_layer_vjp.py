@@ -49,6 +49,25 @@ NEG = -1e9
 EPS = 1e-5
 
 
+def _cdot(a, b, cd):
+    """a @ b with operands cast to the compute dtype `cd`, f32 accumulation.
+    cd=float32 reproduces the exact round-2 f32 kernels; cd=bfloat16 is the
+    bf16 training variant (VERDICT r2 #3): every heavy dot runs bf16 on the
+    MXU while LN statistics, softmax, residuals and ALL gradient
+    accumulation stay f32."""
+    return jnp.dot(a.astype(cd), b.astype(cd),
+                   preferred_element_type=jnp.float32)
+
+
+def _cdotg(a, b, cd):
+    """dot_general contracting dim 0 of both (param grads / scatters),
+    operands cast to `cd`, f32 accumulation."""
+    return jax.lax.dot_general(
+        a.astype(cd), b.astype(cd), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 # ---------------------------------------------------------------------------
 # shared forward-recompute + backward pieces (per tile)
 # ---------------------------------------------------------------------------
@@ -86,71 +105,78 @@ def _ln_bwd(du, n, invs, lns):
     return dz, dlns, dlnb
 
 
-def _edge_mlp_fwd(et4, r_feat, hi_term_rep, hj, w1e, w1r, w1j, b1, lns, lnb, w2, b2):
-    """f32 recompute of the split-input edge MLP. Returns output plus the
-    residues needed for its backward."""
+def _edge_mlp_fwd(et4, r_feat, hi_term_rep, hj, w1e, w1r, w1j, b1, lns, lnb, w2, b2,
+                  cd=jnp.float32):
+    """Recompute of the split-input edge MLP (dots in `cd`, f32 residuals).
+    Returns output plus the residues needed for its backward."""
     z = (
-        jnp.dot(et4, w1e, preferred_element_type=jnp.float32)
-        + jnp.dot(r_feat, w1r, preferred_element_type=jnp.float32)
-        + jnp.dot(hj, w1j, preferred_element_type=jnp.float32)
+        _cdot(et4, w1e, cd)
+        + _cdot(r_feat, w1r, cd)
+        + _cdot(hj, w1j, cd)
         + hi_term_rep
         + b1
     )
     n, invs, u = _ln_fwd(z, lns, lnb)
     a = jnp.maximum(u, 0.0)
-    out = jnp.dot(a, w2, preferred_element_type=jnp.float32) + b2
+    out = _cdot(a, w2, cd) + b2
     return out, (z, n, invs, u, a)
 
 
-def _edge_mlp_bwd(dout, res, et4, r_feat, hj, w1e, w1r, w1j, lns, w2):
+def _edge_mlp_bwd(dout, res, et4, r_feat, hj, w1e, w1r, w1j, lns, w2,
+                  cd=jnp.float32):
     """Backward of _edge_mlp_fwd. Returns d(r_feat), d(hj), d(hi_term_rep)
-    and the parameter gradients."""
+    and the parameter gradients (dots in `cd`, f32 accumulation)."""
     z, n, invs, u, a = res
-    da = jnp.dot(dout, w2.T, preferred_element_type=jnp.float32)
-    dw2 = jax.lax.dot_general(a, dout, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+    da = _cdot(dout, w2.T, cd)
+    dw2 = _cdotg(a, dout, cd)
     db2 = _colsum(dout)
     du = jnp.where(u > 0, da, 0.0)
     dz, dlns, dlnb = _ln_bwd(du, n, invs, lns)
-    dr_feat = jnp.dot(dz, w1r.T, preferred_element_type=jnp.float32)
-    dhj = jnp.dot(dz, w1j.T, preferred_element_type=jnp.float32)
+    dr_feat = _cdot(dz, w1r.T, cd)
+    dhj = _cdot(dz, w1j.T, cd)
     dhi_rep = dz  # (hi_term enters additively; caller reduces over K)
-    dw1e = jax.lax.dot_general(et4, dz, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    dw1r = jax.lax.dot_general(r_feat, dz, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    dw1j = jax.lax.dot_general(hj, dz, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    dw1e = _cdotg(et4, dz, cd)
+    dw1r = _cdotg(r_feat, dz, cd)
+    dw1j = _cdotg(hj, dz, cd)
     db1 = _colsum(dz)
     return dr_feat, dhj, dhi_rep, (dw1e, dw1r, dw1j, db1, dlns, dlnb, dw2, db2)
 
 
-def _node_mlp_fwd(h_tile, w1, b1, lns, lnb, w2, b2):
-    z = jnp.dot(h_tile, w1, preferred_element_type=jnp.float32) + b1
+def _node_mlp_fwd(h_tile, w1, b1, lns, lnb, w2, b2, cd=jnp.float32):
+    z = _cdot(h_tile, w1, cd) + b1
     n, invs, u = _ln_fwd(z, lns, lnb)
     a = jnp.maximum(u, 0.0)
-    out = jnp.dot(a, w2, preferred_element_type=jnp.float32) + b2
+    out = _cdot(a, w2, cd) + b2
     return out, (z, n, invs, u, a)
 
 
-def _node_mlp_bwd(dout, res, h_tile, w1, lns, w2):
+def _node_mlp_bwd(dout, res, h_tile, w1, lns, w2, cd=jnp.float32):
     z, n, invs, u, a = res
-    da = jnp.dot(dout, w2.T, preferred_element_type=jnp.float32)
-    dw2 = jax.lax.dot_general(a, dout, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+    da = _cdot(dout, w2.T, cd)
+    dw2 = _cdotg(a, dout, cd)
     db2 = _colsum(dout)
     du = jnp.where(u > 0, da, 0.0)
     dz, dlns, dlnb = _ln_bwd(du, n, invs, lns)
-    dh_tile = jnp.dot(dz, w1.T, preferred_element_type=jnp.float32)
-    dw1 = jax.lax.dot_general(h_tile, dz, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+    dh_tile = _cdot(dz, w1.T, cd)
+    dw1 = _cdotg(h_tile, dz, cd)
     db1 = _colsum(dz)
     return dh_tile, (dw1, db1, dlns, dlnb, dw2, db2)
 
 
-def _geometry_fwd(x_ref, onehot, rows, offsets, coeff, K):
+def _geometry_fwd(x_ref, onehot, rows, offsets, coeff, K, cd=jnp.float32):
     x_all = x_ref[:]
-    xj = jnp.dot(onehot, x_all, preferred_element_type=jnp.float32)
+    if cd == jnp.float32:
+        xj = jnp.dot(onehot, x_all, preferred_element_type=jnp.float32)
+    else:
+        # positions need more than bf16 mantissa: gather hi|lo split halves
+        # through the bf16 one-hot (exact; same trick as the megakernel)
+        N = x_all.shape[0]
+        x_hi = x_all.astype(cd)
+        x_lo = (x_all - x_hi.astype(jnp.float32)).astype(cd)
+        zpad = jnp.zeros((N, 5), cd)
+        xhl = jnp.concatenate([x_hi, zpad, x_lo, zpad], axis=1)  # [N, 16]
+        xj2 = jnp.dot(onehot, xhl, preferred_element_type=jnp.float32)
+        xj = xj2[:, 0:3] + xj2[:, 8:11]
     x_tile = x_ref[rows]
     TN = x_tile.shape[0]
     xi = jnp.broadcast_to(x_tile[:, None, :], (TN, K, 3)).reshape(TN * K, 3)
@@ -192,10 +218,9 @@ def _sum_rows(v, TN, K):
     return v.reshape(TN, K, C).sum(axis=1)
 
 
-def _scatter_nbr(onehot, contrib):
+def _scatter_nbr(onehot, contrib, cd=jnp.float32):
     """Transpose of the one-hot gather: [TNK, N]^T @ [TNK, C] -> [N, C]."""
-    return jax.lax.dot_general(onehot, contrib, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    return _cdotg(onehot, contrib, cd)
 
 
 # ---------------------------------------------------------------------------
@@ -207,7 +232,7 @@ def _x2h_bwd_kernel(
     h_ref, x_ref, idx_ref, nmask_ref, etype_ref, ew_ref, offsets_ref, g_ref,
     p: X2HParams,
     dh_ref, dx_ref, dew_ref, *dp_refs,
-    N, H, K, n_heads, coeff, TN,
+    N, H, K, n_heads, coeff, TN, cd=jnp.float32,
 ):
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -226,28 +251,31 @@ def _x2h_bwd_kernel(
             r[...] = jnp.zeros(r.shape, jnp.float32)
 
     idx_t, et4, nm, ew = _edge_scalars_2d(idx_ref, etype_ref, nmask_ref, ew_ref, TN, K)
-    onehot = _onehot_from_idx(idx_t, N, TN, K, jnp.float32)
+    onehot = _onehot_from_idx(idx_t, N, TN, K, cd)
 
     h_all = h_ref[:].astype(jnp.float32)
-    hj = jnp.dot(onehot, h_all, preferred_element_type=jnp.float32)
+    hj = _cdot(onehot, h_all, cd)
     h_tile = h_ref[rows, :].astype(jnp.float32)
     offsets = offsets_ref[:]
 
-    rel, dist, d_off, rbf = _geometry_fwd(x_ref, onehot, rows, offsets, coeff, K)
+    rel, dist, d_off, rbf = _geometry_fwd(x_ref, onehot, rows, offsets, coeff, K,
+                                          cd=cd)
     r_feat = jnp.concatenate([rbf * et4[:, i : i + 1] for i in range(4)], axis=1)
 
-    # ---- forward recompute (f32) ----
-    hi_k = jnp.dot(h_tile, p.hk_w1i[:], preferred_element_type=jnp.float32)
+    # ---- forward recompute (dots in cd, residuals f32) ----
+    hi_k = _cdot(h_tile, p.hk_w1i[:], cd)
     k, res_k = _edge_mlp_fwd(et4, r_feat, _rep_rows(hi_k, TN, K), hj,
                              p.hk_w1e[:], p.hk_w1r[:], p.hk_w1j[:], p.hk_b1[:],
-                             p.hk_lns[:], p.hk_lnb[:], p.hk_w2[:], p.hk_b2[:])
-    hi_v = jnp.dot(h_tile, p.hv_w1i[:], preferred_element_type=jnp.float32)
+                             p.hk_lns[:], p.hk_lnb[:], p.hk_w2[:], p.hk_b2[:],
+                             cd=cd)
+    hi_v = _cdot(h_tile, p.hv_w1i[:], cd)
     v_pre, res_v = _edge_mlp_fwd(et4, r_feat, _rep_rows(hi_v, TN, K), hj,
                                  p.hv_w1e[:], p.hv_w1r[:], p.hv_w1j[:], p.hv_b1[:],
-                                 p.hv_lns[:], p.hv_lnb[:], p.hv_w2[:], p.hv_b2[:])
+                                 p.hv_lns[:], p.hv_lnb[:], p.hv_w2[:], p.hv_b2[:],
+                                 cd=cd)
     v = v_pre * ew
     q, res_q = _node_mlp_fwd(h_tile, p.hq_w1[:], p.hq_b1[:], p.hq_lns[:],
-                             p.hq_lnb[:], p.hq_w2[:], p.hq_b2[:])
+                             p.hq_lnb[:], p.hq_w2[:], p.hq_b2[:], cd=cd)
     S, St = _head_matrices(H, n_heads, jnp.float32)
     q_rep = _rep_rows(q, TN, K)
     alpha = _softmax_fwd(k, q_rep, nm, n_heads, dh, TN, K, S)
@@ -270,13 +298,14 @@ def _x2h_bwd_kernel(
 
     dr_k, dhj_k, dhi_rep_k, pg_k = _edge_mlp_bwd(
         dk, res_k, et4, r_feat, hj, p.hk_w1e[:], p.hk_w1r[:], p.hk_w1j[:],
-        p.hk_lns[:], p.hk_w2[:]
+        p.hk_lns[:], p.hk_w2[:], cd=cd
     )
     dr_v, dhj_v, dhi_rep_v, pg_v = _edge_mlp_bwd(
         dv_pre, res_v, et4, r_feat, hj, p.hv_w1e[:], p.hv_w1r[:], p.hv_w1j[:],
-        p.hv_lns[:], p.hv_w2[:]
+        p.hv_lns[:], p.hv_w2[:], cd=cd
     )
-    dh_q, pg_q = _node_mlp_bwd(dq, res_q, h_tile, p.hq_w1[:], p.hq_lns[:], p.hq_w2[:])
+    dh_q, pg_q = _node_mlp_bwd(dq, res_q, h_tile, p.hq_w1[:], p.hq_lns[:],
+                               p.hq_w2[:], cd=cd)
 
     dr_feat = dr_k + dr_v
     dhj = dhj_k + dhj_v
@@ -295,21 +324,19 @@ def _x2h_bwd_kernel(
     dh_tile_total = (
         g  # residual path
         + dh_q
-        + jnp.dot(dhi_k, p.hk_w1i[:].T, preferred_element_type=jnp.float32)
-        + jnp.dot(dhi_v, p.hv_w1i[:].T, preferred_element_type=jnp.float32)
+        + _cdot(dhi_k, p.hk_w1i[:].T, cd)
+        + _cdot(dhi_v, p.hv_w1i[:].T, cd)
     )
     dh_ref[rows, :] = dh_ref[rows, :] + dh_tile_total
-    dh_ref[...] = dh_ref[...] + _scatter_nbr(onehot, dhj)
+    dh_ref[...] = dh_ref[...] + _scatter_nbr(onehot, dhj, cd)
     dx_ref[rows, :] = dx_ref[rows, :] + dxi
-    dx_ref[...] = dx_ref[...] + _scatter_nbr(onehot, dxj)
+    dx_ref[...] = dx_ref[...] + _scatter_nbr(onehot, dxj, cd)
 
     # ---- accumulate parameter grads (order must match X2HGrads below) ----
     # NamedTuple field order: w1e, w1r, w1i, w1j, b1, lns, lnb, w2, b2
-    hi_grads_k = jax.lax.dot_general(h_tile, dhi_k, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+    hi_grads_k = _cdotg(h_tile, dhi_k, cd)
     pieces = [pg_k[0], pg_k[1], hi_grads_k, pg_k[2]] + list(pg_k[3:])
-    hi_grads_v = jax.lax.dot_general(h_tile, dhi_v, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+    hi_grads_v = _cdotg(h_tile, dhi_v, cd)
     pieces += [pg_v[0], pg_v[1], hi_grads_v, pg_v[2]] + list(pg_v[3:])
     pieces += list(pg_q)
     for r, val in zip(dp_refs, pieces):
@@ -325,7 +352,7 @@ def _h2x_bwd_kernel(
     h_ref, x_ref, idx_ref, nmask_ref, etype_ref, ew_ref, mlig_ref, offsets_ref,
     g_ref, p: H2XParams,
     dh_ref, dx_ref, dew_ref, *dp_refs,
-    N, H, K, n_heads, coeff, TN, T0=0,
+    N, H, K, n_heads, coeff, TN, T0=0, cd=jnp.float32,
 ):
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -343,27 +370,30 @@ def _h2x_bwd_kernel(
             r[...] = jnp.zeros(r.shape, jnp.float32)
 
     idx_t, et4, nm, ew = _edge_scalars_2d(idx_ref, etype_ref, nmask_ref, ew_ref, TN, K)
-    onehot = _onehot_from_idx(idx_t, N, TN, K, jnp.float32)
+    onehot = _onehot_from_idx(idx_t, N, TN, K, cd)
 
     h_all = h_ref[:].astype(jnp.float32)
-    hj = jnp.dot(onehot, h_all, preferred_element_type=jnp.float32)
+    hj = _cdot(onehot, h_all, cd)
     h_tile = h_ref[rows, :].astype(jnp.float32)
     offsets = offsets_ref[:]
 
-    rel, dist, d_off, rbf = _geometry_fwd(x_ref, onehot, rows, offsets, coeff, K)
+    rel, dist, d_off, rbf = _geometry_fwd(x_ref, onehot, rows, offsets, coeff, K,
+                                          cd=cd)
     r_feat = jnp.concatenate([rbf * et4[:, i : i + 1] for i in range(4)], axis=1)
 
-    hi_k = jnp.dot(h_tile, p.xk_w1i[:], preferred_element_type=jnp.float32)
+    hi_k = _cdot(h_tile, p.xk_w1i[:], cd)
     k, res_k = _edge_mlp_fwd(et4, r_feat, _rep_rows(hi_k, TN, K), hj,
                              p.xk_w1e[:], p.xk_w1r[:], p.xk_w1j[:], p.xk_b1[:],
-                             p.xk_lns[:], p.xk_lnb[:], p.xk_w2[:], p.xk_b2[:])
-    hi_v = jnp.dot(h_tile, p.xv_w1i[:], preferred_element_type=jnp.float32)
+                             p.xk_lns[:], p.xk_lnb[:], p.xk_w2[:], p.xk_b2[:],
+                             cd=cd)
+    hi_v = _cdot(h_tile, p.xv_w1i[:], cd)
     v_pre, res_v = _edge_mlp_fwd(et4, r_feat, _rep_rows(hi_v, TN, K), hj,
                                  p.xv_w1e[:], p.xv_w1r[:], p.xv_w1j[:], p.xv_b1[:],
-                                 p.xv_lns[:], p.xv_lnb[:], p.xv_w2[:], p.xv_b2[:])
+                                 p.xv_lns[:], p.xv_lnb[:], p.xv_w2[:], p.xv_b2[:],
+                                 cd=cd)
     v16 = v_pre * ew  # [TNK, heads]
     q, res_q = _node_mlp_fwd(h_tile, p.xq_w1[:], p.xq_b1[:], p.xq_lns[:],
-                             p.xq_lnb[:], p.xq_w2[:], p.xq_b2[:])
+                             p.xq_lnb[:], p.xq_w2[:], p.xq_b2[:], cd=cd)
     S, St = _head_matrices(H, n_heads, jnp.float32)
     q_rep = _rep_rows(q, TN, K)
     alpha = _softmax_fwd(k, q_rep, nm, n_heads, dh, TN, K, S)
@@ -392,13 +422,14 @@ def _h2x_bwd_kernel(
 
     dr_k, dhj_k, dhi_rep_k, pg_k = _edge_mlp_bwd(
         dk, res_k, et4, r_feat, hj, p.xk_w1e[:], p.xk_w1r[:], p.xk_w1j[:],
-        p.xk_lns[:], p.xk_w2[:]
+        p.xk_lns[:], p.xk_w2[:], cd=cd
     )
     dr_v, dhj_v, dhi_rep_v, pg_v = _edge_mlp_bwd(
         dv_pre, res_v, et4, r_feat, hj, p.xv_w1e[:], p.xv_w1r[:], p.xv_w1j[:],
-        p.xv_lns[:], p.xv_w2[:]
+        p.xv_lns[:], p.xv_w2[:], cd=cd
     )
-    dh_q, pg_q = _node_mlp_bwd(dq, res_q, h_tile, p.xq_w1[:], p.xq_lns[:], p.xq_w2[:])
+    dh_q, pg_q = _node_mlp_bwd(dq, res_q, h_tile, p.xq_w1[:], p.xq_lns[:],
+                               p.xq_w2[:], cd=cd)
 
     dr_feat = dr_k + dr_v
     dhj = dhj_k + dhj_v
@@ -414,20 +445,18 @@ def _h2x_bwd_kernel(
 
     dh_tile_total = (
         dh_q
-        + jnp.dot(dhi_k, p.xk_w1i[:].T, preferred_element_type=jnp.float32)
-        + jnp.dot(dhi_v, p.xv_w1i[:].T, preferred_element_type=jnp.float32)
+        + _cdot(dhi_k, p.xk_w1i[:].T, cd)
+        + _cdot(dhi_v, p.xv_w1i[:].T, cd)
     )
     dh_ref[rows, :] = dh_ref[rows, :] + dh_tile_total
-    dh_ref[...] = dh_ref[...] + _scatter_nbr(onehot, dhj)
+    dh_ref[...] = dh_ref[...] + _scatter_nbr(onehot, dhj, cd)
     dx_ref[rows, :] = dx_ref[rows, :] + dx_direct + dxi
-    dx_ref[...] = dx_ref[...] + _scatter_nbr(onehot, dxj)
+    dx_ref[...] = dx_ref[...] + _scatter_nbr(onehot, dxj, cd)
 
     # NamedTuple field order: w1e, w1r, w1i, w1j, b1, lns, lnb, w2, b2
-    hi_grads_k = jax.lax.dot_general(h_tile, dhi_k, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+    hi_grads_k = _cdotg(h_tile, dhi_k, cd)
     pieces = [pg_k[0], pg_k[1], hi_grads_k, pg_k[2]] + list(pg_k[3:])
-    hi_grads_v = jax.lax.dot_general(h_tile, dhi_v, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+    hi_grads_v = _cdotg(h_tile, dhi_v, cd)
     pieces += [pg_v[0], pg_v[1], hi_grads_v, pg_v[2]] + list(pg_v[3:])
     pieces += list(pg_q)
     for r, val in zip(dp_refs, pieces):
@@ -447,7 +476,7 @@ def _param_grad_shapes(params):
 
 
 def _x2h_bwd(h, x, idx, nbr_mask, etype, e_w, offsets, params, g,
-             *, n_heads, coeff, interpret):
+             *, n_heads, coeff, interpret, cd=jnp.float32):
     B, N, H = h.shape
     K = idx.shape[-1]
     TN = _pick_tile(N)
@@ -455,7 +484,8 @@ def _x2h_bwd(h, x, idx, nbr_mask, etype, e_w, offsets, params, g,
     params2d = _params_2d(params)
 
     kern = functools.partial(
-        _x2h_bwd_kernel, N=N, H=H, K=K, n_heads=n_heads, coeff=coeff, TN=TN
+        _x2h_bwd_kernel, N=N, H=H, K=K, n_heads=n_heads, coeff=coeff, TN=TN,
+        cd=cd,
     )
     n_regular = 8
 
@@ -506,7 +536,7 @@ def _x2h_bwd(h, x, idx, nbr_mask, etype, e_w, offsets, params, g,
 
 
 def _h2x_bwd(h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets, params, g,
-             *, n_heads, coeff, interpret, n_ligand=None):
+             *, n_heads, coeff, interpret, n_ligand=None, cd=jnp.float32):
     B, N, H = h.shape
     K = idx.shape[-1]
     TN = _pick_tile(N)
@@ -520,7 +550,7 @@ def _h2x_bwd(h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets, params, g,
 
     kern = functools.partial(
         _h2x_bwd_kernel, N=N, H=H, K=K, n_heads=n_heads, coeff=coeff, TN=TN,
-        T0=t0,
+        T0=t0, cd=cd,
     )
     n_regular = 9
 
@@ -622,33 +652,36 @@ def _zero_cot(a):
     return np.zeros(a.shape, jax.dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def x2h_layer_trainable(h, x, idx, nbr_mask, etype, e_w, offsets, params,
-                        n_heads, coeff, interpret):
+                        n_heads, coeff, interpret, dtype=jnp.float32):
     """BaseX2HAttLayer with Pallas forward AND Pallas backward.
 
-    f32 forward (exact vs the XLA path) so gradients are tight; the speed
-    comes from VMEM residency, not reduced precision."""
+    dtype=float32 (default): exact vs the XLA path, tight gradients.
+    dtype=bfloat16: the bf16 training variant — heavy dots in bf16 with f32
+    accumulation in BOTH forward and backward (LN stats, softmax, residuals
+    and gradient accumulation stay f32; position gathers use an exact hi|lo
+    split)."""
     return x2h_attention_layer(
         h, x, idx, nbr_mask, etype, e_w, offsets, params,
-        n_heads=n_heads, coeff=coeff, dtype=jnp.float32, interpret=interpret,
+        n_heads=n_heads, coeff=coeff, dtype=dtype, interpret=interpret,
     )
 
 
 def _x2h_fwd_rule(h, x, idx, nbr_mask, etype, e_w, offsets, params,
-                  n_heads, coeff, interpret):
+                  n_heads, coeff, interpret, dtype=jnp.float32):
     out = x2h_attention_layer(
         h, x, idx, nbr_mask, etype, e_w, offsets, params,
-        n_heads=n_heads, coeff=coeff, dtype=jnp.float32, interpret=interpret,
+        n_heads=n_heads, coeff=coeff, dtype=dtype, interpret=interpret,
     )
     return out, (h, x, idx, nbr_mask, etype, e_w, offsets, params)
 
 
-def _x2h_bwd_rule(n_heads, coeff, interpret, res, g):
+def _x2h_bwd_rule(n_heads, coeff, interpret, dtype, res, g):
     h, x, idx, nbr_mask, etype, e_w, offsets, params = res
     dh_, dx_, dew_, dparams = _x2h_bwd(
         h, x, idx, nbr_mask, etype, e_w, offsets, params, g,
-        n_heads=n_heads, coeff=coeff, interpret=interpret,
+        n_heads=n_heads, coeff=coeff, interpret=interpret, cd=dtype,
     )
     return (
         dh_.astype(h.dtype), dx_.astype(x.dtype), _zero_cot(idx),
@@ -661,35 +694,38 @@ def _x2h_bwd_rule(n_heads, coeff, interpret, res, g):
 x2h_layer_trainable.defvjp(_x2h_fwd_rule, _x2h_bwd_rule)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
 def h2x_layer_trainable(h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets,
-                        params, n_heads, coeff, interpret, n_ligand=None):
+                        params, n_heads, coeff, interpret, n_ligand=None,
+                        dtype=jnp.float32):
     """BaseH2XAttLayer with Pallas forward AND Pallas backward.
 
     `n_ligand` restricts both directions to the ligand-destination tail
-    tiles (protein coordinates never move)."""
+    tiles (protein coordinates never move). dtype as x2h_layer_trainable."""
     return h2x_attention_layer(
         h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets, params,
-        n_heads=n_heads, coeff=coeff, dtype=jnp.float32, interpret=interpret,
+        n_heads=n_heads, coeff=coeff, dtype=dtype, interpret=interpret,
         n_ligand=n_ligand,
     )
 
 
 def _h2x_fwd_rule(h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets,
-                  params, n_heads, coeff, interpret, n_ligand=None):
+                  params, n_heads, coeff, interpret, n_ligand=None,
+                  dtype=jnp.float32):
     out = h2x_attention_layer(
         h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets, params,
-        n_heads=n_heads, coeff=coeff, dtype=jnp.float32, interpret=interpret,
+        n_heads=n_heads, coeff=coeff, dtype=dtype, interpret=interpret,
         n_ligand=n_ligand,
     )
     return out, (h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets, params)
 
 
-def _h2x_bwd_rule(n_heads, coeff, interpret, n_ligand, res, g):
+def _h2x_bwd_rule(n_heads, coeff, interpret, n_ligand, dtype, res, g):
     h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets, params = res
     dh_, dx_, dew_, dparams = _h2x_bwd(
         h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets, params, g,
         n_heads=n_heads, coeff=coeff, interpret=interpret, n_ligand=n_ligand,
+        cd=dtype,
     )
     return (
         dh_.astype(h.dtype), dx_.astype(x.dtype), _zero_cot(idx),

@@ -23,11 +23,15 @@ def synthetic_state_dict(hidden=32, heads=4, num_layers=2, num_r=20, rng=None):
     emb = hidden - 1  # node_indicator=True
 
     def lin(name, din, dout, bias=True):
+        # trained-scale weights (~Glorot): raw N(0,1) weights drive attention
+        # logits to |q.k| ~ 90, outside any fused-softmax numeric envelope
+        sc = float(1.0 / np.sqrt(din))
         sd[name + ".weight"] = torch.tensor(
-            rng.normal(size=(dout, din)).astype(np.float32)
+            (rng.normal(size=(dout, din)) * sc).astype(np.float32)
         )
         if bias:
-            sd[name + ".bias"] = torch.tensor(rng.normal(size=(dout,)).astype(np.float32))
+            sd[name + ".bias"] = torch.tensor(
+                (rng.normal(size=(dout,)) * 0.1).astype(np.float32))
 
     def mlp(name, din, dout, hid):
         lin(name + ".net.0", din, hid)

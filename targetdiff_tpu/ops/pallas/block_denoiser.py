@@ -333,10 +333,11 @@ def _block_kernel(
 
     def att_out(k, v, q_tile, nm_tile, ew_tile):
         """x2h attention output [TI, H] in the SHIFT-FREE, LANE-REPLICATED
-        formulation. Any uniform per-head shift cancels in num/den, so one
-        whole-tile SCALAR max shift suffices — exact for every per-head
-        softmax at any logit magnitude (the measured per-head 3D max/sub
-        chain this replaces cost ~half the old softmax's 19 ms). Logits come out of `prod @ S128` already replicated across
+        formulation. A per-head softmax shift cancels in num/den, so no max
+        pass is needed at all: exp runs on +-60-clipped logits, exact for
+        any LN-bounded trained weights (the per-head 3D max/sub chain this
+        replaces cost ~half the old softmax's 19 ms; a scalar tile-max
+        shift cost ~10 ms — see ROADMAP). Logits come out of `prod @ S128` already replicated across
         each head's dh lanes, so the numerator AND the softmax denominator
         both aggregate over K through the same full-width SEG segment
         matmul, and normalization is one [TI, H] division after
@@ -353,13 +354,12 @@ def _block_kernel(
         else:
             lg = jnp.dot(prod, S128, preferred_element_type=jnp.float32)
         nm1 = lift_rows(nm_tile, TI, TNK)
-        # one SCALAR mask-aware tile-max shift: uniform across heads, hence
-        # exact for every per-head softmax whose logits sit within ~80 of
-        # the tile max (always true for LN-bounded trained weights).
-        # The -80 floor keeps far-below-max heads at uniform attention
-        # instead of 0/0; masked logits are excluded from the max.
-        mx = jnp.max(lg * nm1)
-        g = jnp.exp(jnp.maximum(lg - mx, -80.0)) * nm1
+        # shift-free: exp of +-60-clipped logits. Exact for |logits| <= 60
+        # (always true for LN-bounded trained weights; e^+-60 is safely
+        # inside f32/bf16 range on both num and den). A mask-aware scalar
+        # tile-max shift was measured ~10 ms/call SLOWER (to-scalar
+        # reduction + 3 extra full-lane passes) — don't reintroduce.
+        g = jnp.exp(jnp.clip(lg, -60.0, 60.0)) * nm1
         if "sa_avm" in ablate:  # timing stand-in
             av = v
         else:
@@ -505,8 +505,7 @@ def _block_kernel(
         ).reshape(LK, H)
         lg = jnp.dot(k * q_rep, S128, preferred_element_type=jnp.float32)
         nm1 = lift_rows(nmask_ref[0, lrows, :], NLIG, LK)
-        mx = jnp.max(lg * nm1)
-        g = jnp.exp(jnp.maximum(lg - mx, -80.0)) * nm1
+        g = jnp.exp(jnp.clip(lg, -60.0, 60.0)) * nm1
         denL = jnp.dot(SEGL, g.astype(dtype),
                        preferred_element_type=jnp.float32)  # [NLIG, H]
         den_rep = jnp.broadcast_to(

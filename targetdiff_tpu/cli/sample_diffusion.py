@@ -39,12 +39,18 @@ def load_model_from_checkpoint(ckpt_path, max_protein=384, max_ligand=64):
         train_config.model, protein_feat.feature_dim, ligand_feat.feature_dim,
         max_protein=max_protein, max_ligand=max_ligand,
     )
-    # unflatten params against a freshly-initialized template
+    # unflatten params against a freshly-initialized template. The dummy
+    # complex must have >= knn atoms or the kNN top_k fails at init
+    # (regression: an 8-atom dummy crashed every sampling CLI at startup
+    # for the flagship knn=32 config)
     from ..data.batch import pad_complex
 
+    np_dummy = max(int(train_config.model.get("knn", 32)) + 8, 40)
     dummy = pad_complex(
-        np.zeros((8, 3), np.float32), np.zeros((8, protein_feat.feature_dim), np.float32),
-        np.zeros((2, 3), np.float32), np.zeros((2,), np.int32), 8, max_ligand=8,
+        np.zeros((np_dummy, 3), np.float32),
+        np.zeros((np_dummy, protein_feat.feature_dim), np.float32),
+        np.zeros((2, 3), np.float32), np.zeros((2,), np.int32), np_dummy,
+        max_ligand=8,
     )
     template = model.init(jax.random.PRNGKey(0), dummy)
     params = load_checkpoint(ckpt_path, params_template=template)["params"]

@@ -359,19 +359,22 @@ def _block_kernel(
         # inside f32/bf16 range on both num and den). A mask-aware scalar
         # tile-max shift was measured ~10 ms/call SLOWER (to-scalar
         # reduction + 3 extra full-lane passes) — don't reintroduce.
+        # (running this chain in bf16 measured 5.6 ms WORSE — the casts/
+        # relayouts eat the halved vregs, as with every bf16-elementwise
+        # attempt in this kernel's history)
         g = jnp.exp(jnp.clip(lg, -60.0, 60.0)) * nm1
         if "sa_avm" in ablate:  # timing stand-in
             av = v
         else:
             ew1 = lift_rows(ew_tile, TI, TNK)
             av = (g * ew1 * v.astype(jnp.float32)).astype(dtype)
+        g16 = g.astype(dtype)
         out_un = jnp.dot(SEG, av, preferred_element_type=jnp.float32)
         if "sa_den" in ablate:  # timing stand-in
             return out_un
         # (merging num+den into one SEG dot via [av | g] concat measured
         # ~1 ms WORSE — the [TNK, 2H] concat copy outweighs the saved dot)
-        den128 = jnp.dot(SEG, g.astype(dtype),
-                         preferred_element_type=jnp.float32)
+        den128 = jnp.dot(SEG, g16, preferred_element_type=jnp.float32)
         return out_un / jnp.maximum(den128, 1e-30)
 
     def layer_body(l, _):

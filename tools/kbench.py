@@ -3,7 +3,7 @@
 Usage: python tools/kbench.py [N_protein] [tile] [batch] [reps] [ablate,...]
 
 ablate options (comma-separated; timing attribution only — changes results):
-regeo, x2h, h2x, init, gather, ln, soft, w2
+regeo, x2h, h2x, init, gather, ln, soft, w2, sa_avm, sa_den, lndots, lnfull
 
 Times the fused denoiser block alone (no sampler glue / kNN). Reps CHAIN
 h_out -> h_in with a single scalar sync at the end: a per-rep

@@ -107,6 +107,7 @@ class EGNN(nn.Module):
     act_fn: str = "silu"
     norm: bool = False
     max_ligand: int = 0
+    remat: bool = False  # rematerialize each layer in the backward pass
     dtype: Optional[jnp.dtype] = None
 
     def _connect(self, x, node_mask, mask_ligand) -> G.Neighborhood:
@@ -120,14 +121,19 @@ class EGNN(nn.Module):
     @nn.compact
     def __call__(self, h, x, mask_ligand, node_mask, return_all=False, fix_x=False):
         all_x, all_h = [x], [h]
+        layer_cls = EnBaseLayer
+        if self.remat:
+            # EGNN can ONLY run the XLA path (no fused kernels), so large
+            # batches depend on rematerializing the [B,N,K,*] edge tensors
+            layer_cls = nn.remat(layer_cls, static_argnums=(6,))
         for l_idx in range(self.num_layers):
             nbh = self._connect(x, node_mask, mask_ligand)
             edge_type = G.edge_types(nbh, mask_ligand).astype(h.dtype)
-            h, x = EnBaseLayer(
+            h, x = layer_cls(
                 self.hidden_dim, self.edge_feat_dim, self.num_r_gaussian,
                 update_x=self.update_x, act_fn=self.act_fn, norm=self.norm,
                 dtype=self.dtype, name=f"layer_{l_idx}",
-            )(h, x, nbh, mask_ligand, edge_attr=edge_type, fix_x=fix_x)
+            )(h, x, nbh, mask_ligand, edge_type, fix_x)
             all_x.append(x)
             all_h.append(h)
         outputs = {"x": x, "h": h}

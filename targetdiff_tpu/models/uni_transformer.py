@@ -93,6 +93,11 @@ class BaseX2HAttLayer(nn.Module):
         q = q.reshape(B, N, self.n_heads, dh)
 
         logits = (q[:, :, None] * k).sum(-1) / math.sqrt(dh)  # [B, N, K, heads]
+        # fused-kernel contract telemetry: the Pallas megakernel's shift-free
+        # softmax is exact only for |logit| <= 60 (ops/pallas/block_denoiser).
+        # tools/logit_envelope.py reads this collection to vet checkpoints.
+        self.sow("stats", "max_abs_logit",
+                 jnp.max(jnp.abs(logits) * nbh.mask[..., None]).astype(jnp.float32))
         alpha = masked_neighbor_softmax(logits, nbh.mask)
         out = (alpha[..., None] * v).sum(axis=2).reshape(B, N, H)
 
@@ -149,6 +154,8 @@ class BaseH2XAttLayer(nn.Module):
         q = q.reshape(B, N, self.n_heads, dh)
 
         logits = (q[:, :, None] * k).sum(-1) / math.sqrt(dh)
+        self.sow("stats", "max_abs_logit",
+                 jnp.max(jnp.abs(logits) * nbh.mask[..., None]).astype(jnp.float32))
         alpha = masked_neighbor_softmax(logits, nbh.mask)
 
         # TPU layout note: the reference materializes per-head vector messages

@@ -44,19 +44,65 @@ def create_train_state(model: DiffusionModel, optimizer, key, example_batch) -> 
     )
 
 
+def _remat_variant(model: DiffusionModel) -> DiffusionModel:
+    """Shallow model copy whose refine_net rematerializes each layer's
+    [B,N,K,*] edge intermediates in the backward pass (flax nn.remat).
+    Parameter structure is unchanged — the same params/checkpoints apply."""
+    import copy as _copy
+
+    m2 = _copy.copy(model)
+    cfg2 = model.config.merged({"remat": True})
+    m2.config = cfg2
+    m2.net = model.net.clone(config=cfg2)
+    return m2
+
+
+def _xla_residual_bytes(model: DiffusionModel, batch: ComplexBatch) -> int:
+    """Rough HBM estimate of the XLA backward's saved edge intermediates:
+    per layer/pass ~8 [B,N,K,H]-sized f32 tensors. Used to auto-enable
+    remat before the compiler OOMs (f32 XLA at batch>=32 on the flagship
+    shape crashes this image's remote TPU compiler — PARITY.md)."""
+    B = batch.num_graphs
+    N = batch.protein_pos.shape[1] + batch.ligand_pos.shape[1]
+    K = int(model.config.get("knn", 32))
+    H = int(model.config.hidden_dim)
+    L = int(model.config.num_layers) * int(model.config.get("num_blocks", 1))
+    return B * N * K * H * L * 4 * 8
+
+
+# auto-remat threshold: ~half of a v5e chip's 16 GB HBM left for params,
+# activations of the forward, and compiler temporaries
+_REMAT_BYTES = 6 * 1024**3
+
+
 def make_train_step(
     model: DiffusionModel, optimizer, pos_noise_std: float = 0.0, mesh=None,
     time_sampling: str = "symmetric",  # 'symmetric' | 'importance'
     impl: str = "xla",  # 'xla' | 'fast' (Pallas layers with Pallas backwards)
+    remat="auto",  # True | False | 'auto' (XLA impl only; fast recomputes in VMEM)
 ):
     """Returns train_step(state, batch, key) -> (state, metrics), jitted.
 
     With a mesh, params/opt_state are replicated (or mp-sharded) and the batch
     is sharded over dp; XLA inserts the gradient psum over ICI.
+
+    remat: for impl='xla', 'auto' switches to a per-layer-rematerialized
+    backward when the saved edge intermediates would exceed ~6 GB (the
+    configs that can ONLY run XLA — EGNN, time_emb — would otherwise crash
+    the compiler at TPU-appropriate batch sizes). The Pallas fast path
+    recomputes in VMEM by construction and ignores this flag.
     """
     from .ops import diffusion as D
 
+    model_remat = _remat_variant(model) if impl == "xla" and remat else None
+
     def train_step(state: TrainState, batch: ComplexBatch, key):
+        # trace-time (static-shape) decision: re-jitted per batch shape anyway
+        m = model
+        if model_remat is not None and (
+            remat is True or _xla_residual_bytes(model, batch) > _REMAT_BYTES
+        ):
+            m = model_remat
         key_noise, key_t, key_loss = jax.random.split(key, 3)
         if pos_noise_std > 0:
             noise = (
@@ -74,7 +120,7 @@ def make_train_step(
             t = None
 
         def loss_fn(params):
-            out = model.get_diffusion_loss(
+            out = m.get_diffusion_loss(
                 params, key_loss, batch, time_step=t, impl=impl
             )
             return out["loss"], out

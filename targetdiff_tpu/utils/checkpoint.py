@@ -59,6 +59,12 @@ def load_checkpoint(path: str, params_template=None, opt_template=None) -> Dict[
     (unflattened against template if given, else flat dict), opt_state."""
     import yaml
 
+    if not os.path.exists(path):
+        hint = ""
+        if os.path.basename(path) == "diffusion_ckpt.npz":
+            hint = (" — the smoke-test checkpoint is generated on demand: "
+                    "run `python tools/make_smoke_ckpt.py`")
+        raise FileNotFoundError(f"checkpoint not found: {path}{hint}")
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["__meta__"]))
         flat_params = {k[len("params/"):]: z[k] for k in z.files if k.startswith("params/")}

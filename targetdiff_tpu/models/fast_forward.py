@@ -248,6 +248,8 @@ def fast_forward(
     interpret: bool = False,
     mode: str = "mega",  # 'mega' (one kernel per block) | 'layers'
     fix_x: bool = False,
+    need_full_h: bool = True,
+    sort_protein: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Equivalent of ScorePosNet.__call__ (models/score_model.py) on the
     fused kernels. Returns {pred_ligand_pos, pred_ligand_v, final_ligand_h}.
@@ -255,7 +257,19 @@ def fast_forward(
     fix_x=True freezes coordinates (fetch_embedding / likelihood export,
     reference: molopt_score_model.py:619-631): the kernel's x-update is
     gated by the ligand mask, so the SAME compiled megakernel runs with a
-    zeroed update mask while edge types keep the true protein/ligand split."""
+    zeroed update mask while edge types keep the true protein/ligand split.
+    Frozen geometry also means NO per-layer edge refresh: the regeo tile
+    flags are all-clean in this mode (exact — dnode stays zero).
+
+    need_full_h=False (sampling): the final x2h pass skips tiles whose h
+    feeds nothing the sampler consumes; `final_h` protein rows are then
+    STALE — only the ligand outputs are valid.
+
+    sort_protein (mega mode): protein rows are permuted by DESCENDING
+    distance to the pocket centroid before the kernel (and all full-context
+    outputs un-permuted after), clustering ligand-edge sources next to the
+    ligand tail so compute_tile_flags yields more clean/skippable tiles.
+    Exact — only the row order the kernel sees changes."""
     cfg = config
     ok, reason = fast_forward_supported(cfg)
     if not ok:
@@ -300,7 +314,40 @@ def fast_forward(
         NL_ = init_ligand_pos.shape[1]
         K_ = (NL_ - 1 + cfg.knn) if cfg.cutoff_mode == "hybrid" else cfg.knn
         if not block_denoiser_fits(N_, K_, hidden, n_ligand=NL_):
+            import warnings
+
+            from ..ops.pallas.block_denoiser import estimate_vmem_bytes
+
+            # LOUD downgrade (VERDICT r3 #3): per-layer kernels are ~35%
+            # slower than the megakernel — large pockets pay this
+            warnings.warn(
+                f"block_denoiser megakernel does not fit VMEM at N={N_}, "
+                f"K={K_} (scratch estimate "
+                f"{estimate_vmem_bytes(N_, K_, hidden, NL_) >> 20} MB); "
+                "falling back to the per-layer fused kernels (mode='layers', "
+                "slower). See BASELINE.md pocket-size table.",
+                stacklevel=2,
+            )
             mode = "layers"
+    perm = None
+    if mode == "mega" and sort_protein:
+        # cluster ligand-adjacent protein rows next to the ligand tail (see
+        # docstring). Sort key: min distance to any CURRENT ligand atom —
+        # recomputed per call, so the clean-tile set tracks the ligand
+        # through the reverse trajectory
+        pm = node_mask[:, :NP]
+        xs = x[:, :NP, :]
+        lig = x[:, NP:, :]
+        lmask = node_mask[:, NP:]
+        d2p = ((xs[:, :, None, :] - lig[:, None, :, :]) ** 2).sum(-1)
+        d2 = jnp.where(lmask[:, None, :], d2p, jnp.inf).min(-1)
+        key = jnp.where(pm, d2, jnp.inf)  # masked rows sort first (farthest)
+        perm_p = jnp.argsort(-key, axis=-1)
+        tail = jnp.broadcast_to(jnp.arange(NP, h.shape[1]), (h.shape[0], h.shape[1] - NP))
+        perm = jnp.concatenate([perm_p, tail], axis=-1)
+        h = jnp.take_along_axis(h, perm[..., None], 1)
+        x = jnp.take_along_axis(x, perm[..., None], 1)
+        node_mask = jnp.take_along_axis(node_mask, perm, 1)
     if mode == "mega":
         ew_p, block_p = extract_block_params(
             rp, cfg.num_layers, hidden, cfg.num_r_gaussian, dtype=dtype,
@@ -331,13 +378,21 @@ def fast_forward(
 
         upd_mask = jnp.zeros_like(mask_ligand) if fix_x else mask_ligand
         if mode == "mega":
+            from ..ops.pallas.block_denoiser import compute_tile_flags
+
+            flags = compute_tile_flags(nbh.idx, nbh.mask, NL)
+            if fix_x:
+                # frozen geometry: dnode stays zero, so EVERY regeo tile is
+                # exactly clean — zero the first (regeo) half of the flags
+                T2 = flags.shape[-1] // 2
+                flags = flags.at[:, :T2].set(0)
             # edge types + ligand-tail destination handling live INSIDE the
             # megakernel (composed layout: ligand rows are the tail block)
             h, x = block_denoiser(
                 h, x, nbh.idx, nbh.mask, upd_mask, offsets,
                 ew_p, block_p, num_layers=cfg.num_layers, n_heads=cfg.n_heads,
                 coeff=coeff, dtype=dtype, interpret=interpret,
-                n_ligand=NL,
+                n_ligand=NL, tile_flags=flags, need_full_h=need_full_h,
             )
             continue
 
@@ -368,6 +423,12 @@ def fast_forward(
                 n_ligand=NL,
             )
 
+    if perm is not None:
+        # un-permute full-context outputs (ligand tail is identity anyway)
+        inv = jnp.argsort(perm, axis=-1)
+        h = jnp.take_along_axis(h, inv[..., None], 1)
+        x = jnp.take_along_axis(x, inv[..., None], 1)
+
     final_ligand_h = h[:, NP:, :].astype(jnp.float32)
     final_ligand_pos = x[:, NP:, :]
     y = final_ligand_h @ p["v_inference_0"]["kernel"] + p["v_inference_0"]["bias"]
@@ -391,16 +452,23 @@ def fast_train_forward(
     num_classes: int,
     interpret: bool = False,
     dtype=jnp.float32,
+    whole_block_bwd: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """DIFFERENTIABLE fused-kernel forward for training (VERDICT round-1
     item 3): the attention layers run as Pallas kernels with hand-written
-    Pallas backwards (ops/pallas/edge_layer_vjp.py); embeddings, the kNN
-    graph (integer indices — no gradient), the global edge-weight MLP and
-    the v_inference head stay in XLA so their parameter gradients flow by
-    autodiff. dtype=float32 (default): gradients match the XLA path tightly
+    Pallas backwards; embeddings, the kNN graph (integer indices — no
+    gradient), the global edge-weight MLP and the v_inference head stay in
+    XLA so their parameter gradients flow by autodiff. dtype=float32
+    (default): gradients match the XLA path tightly
     (tests/test_fast_train.py). dtype=bfloat16 is the bf16 training variant:
     heavy dots in bf16 with f32 accumulation/residuals in both directions
-    (the activation stream between layers stays f32)."""
+    (the activation stream between layers stays f32).
+
+    whole_block_bwd=True (round 4): ONE fused Pallas backward kernel walks
+    all num_layers layers (ops/pallas/block_vjp.py) — the one-hot operand
+    is cached once per complex instead of rebuilt 2L times and the dh/dx
+    cotangents never round-trip HBM between layers. False restores the
+    round-2/3 per-layer backward kernels (ops/pallas/edge_layer_vjp.py)."""
     cfg = config
     ok, reason = fast_forward_supported(cfg)
     if not ok:
@@ -466,15 +534,28 @@ def fast_train_forward(
         dist_feat = gaussian_smearing(dist0, offsets, coeff)
         e_w = jax.nn.sigmoid(_apply_mlp(rp["edge_pred_layer"], dist_feat))[..., 0]
 
-        for px, ph in layer_params:
-            h = x2h_layer_trainable(
-                h, x, nbh.idx, nbh.mask, etype, e_w, offsets, px,
-                cfg.n_heads, coeff, interpret, dtype,
+        if whole_block_bwd:
+            from ..ops.pallas.block_vjp import (
+                block_layers_trainable,
+                stack_params_2d,
             )
-            x = h2x_layer_trainable(
-                h, x, nbh.idx, nbh.mask, etype, e_w, mask_ligand, offsets, ph,
-                cfg.n_heads, coeff, interpret, NL, dtype,
+
+            spx = stack_params_2d([px for px, _ in layer_params])
+            sph = stack_params_2d([ph for _, ph in layer_params])
+            h, x = block_layers_trainable(
+                h, x, nbh.idx, nbh.mask, etype, e_w, mask_ligand, offsets,
+                (spx, sph), cfg.n_heads, coeff, interpret, NL, dtype,
             )
+        else:
+            for px, ph in layer_params:
+                h = x2h_layer_trainable(
+                    h, x, nbh.idx, nbh.mask, etype, e_w, offsets, px,
+                    cfg.n_heads, coeff, interpret, dtype,
+                )
+                x = h2x_layer_trainable(
+                    h, x, nbh.idx, nbh.mask, etype, e_w, mask_ligand, offsets, ph,
+                    cfg.n_heads, coeff, interpret, NL, dtype,
+                )
 
     final_ligand_h = h[:, NP:, :]
     final_ligand_pos = x[:, NP:, :]

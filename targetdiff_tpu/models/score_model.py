@@ -90,6 +90,7 @@ def build_refine_net(config: Config, max_ligand: int, dtype=None):
             k=config.knn,
             cutoff_mode=config.cutoff_mode,
             max_ligand=max_ligand,
+            remat=config.get("remat", False),
             dtype=dtype,
             name="refine_net",
         )
@@ -251,7 +252,7 @@ class DiffusionModel:
 
     def init(self, key: jax.Array, batch: ComplexBatch):
         t = jnp.zeros((batch.num_graphs,), jnp.int32)
-        return self.net.init(
+        variables = self.net.init(
             key,
             batch.protein_pos,
             batch.protein_feat,
@@ -261,6 +262,10 @@ class DiffusionModel:
             batch.ligand_mask,
             time_step=t,
         )
+        # keep the params pytree clean: the 'stats' sow collection (logit
+        # envelope telemetry, tools/logit_envelope.py) must not leak into
+        # optimizer state / checkpoints
+        return {"params": variables["params"]}
 
     def apply(self, params, batch: ComplexBatch, ligand_pos, ligand_v, time_step, **kw):
         return self.net.apply(
@@ -278,9 +283,12 @@ class DiffusionModel:
     def fast_apply(
         self, params, batch: ComplexBatch, ligand_pos, ligand_v, time_step=None,
         dtype=jnp.bfloat16, interpret=None, mode="mega", fix_x=False,
+        need_full_h=True,
     ):
         """Fused Pallas-kernel forward (inference path); same params as
-        `apply`. Falls back to interpret mode off-TPU."""
+        `apply`. Falls back to interpret mode off-TPU. need_full_h=False
+        skips last-layer work no ligand output consumes (final_h protein
+        rows are then stale — sampling/likelihood only)."""
         from .fast_forward import fast_forward
 
         if interpret is None:
@@ -288,7 +296,7 @@ class DiffusionModel:
         return fast_forward(
             self.config, params, batch, ligand_pos, ligand_v, self.num_classes,
             time_step=time_step, dtype=dtype, interpret=interpret, mode=mode,
-            fix_x=fix_x,
+            fix_x=fix_x, need_full_h=need_full_h,
         )
 
     # -- training loss ------------------------------------------------------
@@ -302,7 +310,10 @@ class DiffusionModel:
         impl='fast' runs the denoiser layers as Pallas kernels with
         hand-written Pallas backwards (training fast path, f32 — exact);
         impl='fast_bf16' is the bf16 training variant (heavy dots bf16,
-        f32 accumulation/residuals both directions)."""
+        f32 accumulation/residuals both directions). A '_pl' suffix
+        ('fast_pl'/'fast_bf16_pl') selects the round-2/3 PER-LAYER backward
+        kernels instead of the round-4 whole-block fused backward
+        (duel/debug escape hatch)."""
         B = batch.num_graphs
         lmask = batch.ligand_mask
         protein_pos, ligand_pos, _ = D.center_pos_protein(
@@ -323,14 +334,15 @@ class DiffusionModel:
             self.v_sched, key_v, log_ligand_v0, time_step, self.num_classes
         )
 
-        if impl in ("fast", "fast_bf16"):
+        if impl.startswith("fast"):
             from .fast_forward import fast_train_forward
 
             interpret = jax.default_backend() not in ("tpu", "axon")
             preds = fast_train_forward(
                 self.config, params, cbatch, ligand_pos_perturbed,
                 ligand_v_perturbed, self.num_classes, interpret=interpret,
-                dtype=jnp.bfloat16 if impl == "fast_bf16" else jnp.float32,
+                dtype=jnp.bfloat16 if "bf16" in impl else jnp.float32,
+                whole_block_bwd=not impl.endswith("_pl"),
             )
         else:
             preds = self.apply(
@@ -410,7 +422,7 @@ class DiffusionModel:
             if impl == "fast":
                 preds = self.fast_apply(
                     params, cbatch, ligand_pos_perturbed, ligand_v_perturbed, t,
-                    dtype=jnp.float32,
+                    dtype=jnp.float32, need_full_h=False,
                 )
             else:
                 preds = self.apply(params, cbatch, ligand_pos_perturbed, ligand_v_perturbed, t)
@@ -466,7 +478,10 @@ class DiffusionModel:
         k, k_pos, k_v = jax.random.split(k, 3)
         t = jnp.full((cbatch.num_graphs,), t_scalar, jnp.int32)
         if impl == "fast":
-            preds = self.fast_apply(params, cbatch, ligand_pos, ligand_v, t, dtype=dtype)
+            preds = self.fast_apply(
+                params, cbatch, ligand_pos, ligand_v, t, dtype=dtype,
+                need_full_h=False,
+            )
         else:
             preds = self.apply(params, cbatch, ligand_pos, ligand_v, t)
 

@@ -40,7 +40,7 @@ structure that follows:
     [N, K] scratch and reused by every layer.
   * x2h softmax is SHIFT-FREE and LANE-REPLICATED (round 3): logits come
     out of `prod @ S128` (block-diagonal head-sum) already replicated
-    across each head's dh lanes; exp runs on +-40-clipped logits (a
+    across each head's dh lanes; exp runs on +-60-clipped logits (a
     per-head shift cancels in num/den, and measured exp cost is ~0.2 ms);
     numerator AND denominator aggregate over K through the same full-width
     [TI, TI*K] segment matmul, normalizing once after aggregation. The
@@ -151,12 +151,14 @@ def _ln_relu(x, scale, bias, eps=1e-5, out_dtype=None, skip_ln=False,
 
 
 def _block_kernel(
-    h_ref, x_ref, idx_ref, nmask_ref, mlig_ref, offsets_ref,
+    flags_ref, h_ref, x_ref, idx_ref, nmask_ref, mlig_ref, offsets_ref,
+    s128_ref, seg_ref, segl_ref, seglf_ref,
     ewp: EwParams, bp: BlockParams,
     hout_ref, xout_ref,
-    hbuf, xfull, dnode, ewbuf, ecache, e4rep, relc, ocache,
+    hbuf, xfull, dnode, lcache, ecache, e4rep, relc, ocache,
     dlig, ni, nq, olcache=None,
-    *, N, H, K, L, n_heads, coeff, dtype, TI, NLIG, ablate=(),
+    *, N, H, K, L, n_heads, coeff, dtype, TI, TIR, NLIG, ablate=(),
+    need_full_h=True,
 ):
     NK = N * K
     dh = H // n_heads
@@ -166,7 +168,11 @@ def _block_kernel(
     ER = 4 * R + 4  # [rbf x onehot(et,4) | onehot(et,4)] feature width
     LK = NLIG * K  # h2x works on ONLY the ligand-destination tail edges
     NPAD = N - NLIG  # ligand rows sit at the tail of the composed layout
-    TL0 = NPAD // TI  # first tile index containing ligand rows
+    # regeo runs on its own FINER tiling (TIR <= TI): per-tile dirty skipping
+    # is the whole point there, and finer tiles skip more cleanly
+    TR = N // TIR
+    TNKR = TIR * K
+    TL0R = NPAD // TIR  # first regeo tile containing ligand rows
 
     # plain lane-reduction LN stats beat the narrow [H,8] ones-matmuls by
     # 2.3 ms/call (lnred duel); 'lndots' restores the old mode for duels
@@ -177,10 +183,9 @@ def _block_kernel(
     # (head-compact logits + the St head->lane lift) ran at ~12% MXU
     # utilization and cost 2x the whole rest of the softmax (measured
     # sa_den/sa_e128 ablations); full-width [H,H] keeps every dot square.
-    lane_j = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
-    lane_i = jax.lax.broadcasted_iota(jnp.int32, (H, H), 0)
-    S128 = jnp.where(lane_i // dh == lane_j // dh, 1.0 / math.sqrt(dh), 0.0
-                     ).astype(dtype)
+    # S128/SEG/SEGL are complex-independent constants HOISTED to inputs
+    # (constant index_map -> DMA'd once, resident across the whole grid)
+    S128 = s128_ref[:]
 
     hbuf[0] = h_ref[0].astype(dtype)
     xfull[:, :] = x_ref[0].astype(jnp.float32)
@@ -190,13 +195,9 @@ def _block_kernel(
     dlig[:, :] = jnp.zeros((128, 16), jnp.float32)
     dnode[:, :] = jnp.zeros((N, 8), jnp.float32)
 
-    seg_row = jax.lax.broadcasted_iota(jnp.int32, (TI, TNK), 0)
-    seg_col = jax.lax.broadcasted_iota(jnp.int32, (TI, TNK), 1)
-    SEG = (seg_col // K == seg_row).astype(dtype)  # [TI, TNK]
-    segl_row = jax.lax.broadcasted_iota(jnp.int32, (NLIG, LK), 0)
-    segl_col = jax.lax.broadcasted_iota(jnp.int32, (NLIG, LK), 1)
-    SEGLf = (segl_col // K == segl_row).astype(jnp.float32)  # [NLIG, LK]
-    SEGL = SEGLf.astype(dtype)
+    SEG = seg_ref[:]  # [TI, TNK]
+    SEGL = segl_ref[:]  # [NLIG, LK]
+    SEGLf = seglf_ref[:]
 
     def lift_rows(v2, rows_n, tnk):  # [rows_n, K] -> [tnk, 1]
         return jnp.broadcast_to(v2[:, :, None], (rows_n, K, 8)).reshape(tnk, 8)[:, :1]
@@ -296,7 +297,17 @@ def _block_kernel(
         # every output lane holds the same logit — slice lane 0
         logit = jnp.dot(z, ewp.w2[:], preferred_element_type=jnp.float32
                         )[:, 0:1] + ewp.b2[:]
-        ewbuf[rows, :] = jax.nn.sigmoid(logit).reshape(TI, K)
+        # CACHED LIFTS (v9): per-edge [NK, 1] row-form mask BIAS and edge
+        # weight, built ONCE here — every layer's softmax previously
+        # re-broadcast both from [TI, K] (2 extra full-lane passes per tile
+        # per layer). Lane 0 is an ADDITIVE logit bias ((nm-1)*1e9: 0 for
+        # valid, -1e9 for masked -> clip -> exp(-60) ~ 9e-27 ~ 0), folding
+        # the mask multiply into the already-needed clip+exp chain. Fully
+        # masked rows then emit a ~uniform average instead of exact zeros —
+        # only ever true for PADDED rows, whose h/x is never consumed.
+        nm1 = lift_rows(nmask_ref[0, rows, :], TI, TNK)
+        lcache[erows, 0:1] = (nm1 - 1.0) * 1e9
+        lcache[erows, 1:2] = jax.nn.sigmoid(logit)
         return 0
 
     if "init" not in ablate:
@@ -331,7 +342,7 @@ def _block_kernel(
         v = (jnp.dot(z_v, w2_v, preferred_element_type=jnp.float32) + b2_v).astype(dtype)
         return k, v
 
-    def att_out(k, v, q_tile, nm_tile, ew_tile):
+    def att_out(k, v, q_tile, l0, l1):
         """x2h attention output [TI, H] in the SHIFT-FREE, LANE-REPLICATED
         formulation. A per-head softmax shift cancels in num/den, so no max
         pass is needed at all: exp runs on +-60-clipped logits, exact for
@@ -353,7 +364,6 @@ def _block_kernel(
             lg = prod.astype(jnp.float32)
         else:
             lg = jnp.dot(prod, S128, preferred_element_type=jnp.float32)
-        nm1 = lift_rows(nm_tile, TI, TNK)
         # shift-free: exp of +-60-clipped logits. Exact for |logits| <= 60
         # (always true for LN-bounded trained weights; e^+-60 is safely
         # inside f32/bf16 range on both num and den). A mask-aware scalar
@@ -362,12 +372,14 @@ def _block_kernel(
         # (running this chain in bf16 measured 5.6 ms WORSE — the casts/
         # relayouts eat the halved vregs, as with every bf16-elementwise
         # attempt in this kernel's history)
-        g = jnp.exp(jnp.clip(lg, -60.0, 60.0)) * nm1
+        # l0 = cached additive mask bias (see init), l1 = cached ew: the
+        # mask multiply is folded into the clip+exp chain (one fewer
+        # full-lane pass per tile per layer)
+        g = jnp.exp(jnp.clip(lg + l0, -60.0, 60.0))
         if "sa_avm" in ablate:  # timing stand-in
             av = v
         else:
-            ew1 = lift_rows(ew_tile, TI, TNK)
-            av = (g * ew1 * v.astype(jnp.float32)).astype(dtype)
+            av = (g * l1 * v.astype(jnp.float32)).astype(dtype)
         g16 = g.astype(dtype)
         out_un = jnp.dot(SEG, av, preferred_element_type=jnp.float32)
         if "sa_den" in ablate:  # timing stand-in
@@ -397,44 +409,51 @@ def _block_kernel(
             dlig[0:NLIG, 8:11] = d_lo.astype(jnp.float32)
 
             def regeo_tile(ti, _, with_di):
-                rows = pl.ds(ti * TI, TI)
-                erows = pl.ds(ti * TNK, TNK)
-                rel_old = relc[erows, 0:3]
-                if olcache is None:
-                    # the ligand one-hot IS ocache's 128-aligned tail slice
-                    ohl = ocache[erows, NPAD:N]  # [tnk, NLIG]
-                    dop = dlig[0:NLIG, :]
-                else:
-                    ohl = olcache[erows, :]
-                    dop = dlig[:, :]
-                # 16 output lanes run the MXU at ~12% utilization; tiling
-                # the [*,16] delta operand to 128 lanes is ~free and makes
-                # the dot full-width (the hi/lo pattern repeats every 16)
-                dop8 = jnp.concatenate([dop.astype(dtype)] * 8, axis=1)
-                dj2 = jnp.dot(ohl, dop8,
-                              preferred_element_type=jnp.float32)
-                dj = dj2[:, 0:3] + dj2[:, 8:11]
-                if with_di:
-                    d_rows = dnode[rows, 0:3]  # zero for protein rows
-                    di = jnp.broadcast_to(
-                        d_rows[:, None, :], (TI, K, 3)
-                    ).reshape(TNK, 3)
-                    rel = rel_old + di - dj
-                else:
-                    # pure-protein destination tiles: di == 0 by construction
-                    rel = rel_old - dj
-                dist = jnp.sqrt((rel * rel).sum(-1, keepdims=True) + 1e-16)
-                feat_store(erows, rel, rbf_of(dist), TNK)
+                # DIRTY-TILE SKIP (v9): a tile whose edges involve NO ligand
+                # atom (src or dst) has unchanged geometry — its ecache/relc
+                # from init stay exact for the whole block. Flags come from
+                # compute_tile_flags (per step, per complex) via SMEM; the
+                # all-ones default reproduces v8 behavior.
+                @pl.when(flags_ref[0, 0, ti] != 0)
+                def _dirty():
+                    rows = pl.ds(ti * TIR, TIR)
+                    erows = pl.ds(ti * TNKR, TNKR)
+                    rel_old = relc[erows, 0:3]
+                    if olcache is None:
+                        # the ligand one-hot IS ocache's 128-aligned tail slice
+                        ohl = ocache[erows, NPAD:N]  # [tnkr, NLIG]
+                        dop = dlig[0:NLIG, :]
+                    else:
+                        ohl = olcache[erows, :]
+                        dop = dlig[:, :]
+                    # 16 output lanes run the MXU at ~12% utilization; tiling
+                    # the [*,16] delta operand to 128 lanes is ~free and makes
+                    # the dot full-width (the hi/lo pattern repeats every 16)
+                    dop8 = jnp.concatenate([dop.astype(dtype)] * 8, axis=1)
+                    dj2 = jnp.dot(ohl, dop8,
+                                  preferred_element_type=jnp.float32)
+                    dj = dj2[:, 0:3] + dj2[:, 8:11]
+                    if with_di:
+                        d_rows = dnode[rows, 0:3]  # zero for protein rows
+                        di = jnp.broadcast_to(
+                            d_rows[:, None, :], (TIR, K, 3)
+                        ).reshape(TNKR, 3)
+                        rel = rel_old + di - dj
+                    else:
+                        # pure-protein destination tiles: di == 0 by construction
+                        rel = rel_old - dj
+                    dist = jnp.sqrt((rel * rel).sum(-1, keepdims=True) + 1e-16)
+                    feat_store(erows, rel, rbf_of(dist), TNKR)
                 return 0
 
             # tiles fully below the ligand tail never have a destination
             # delta — skip the di broadcast there
             jax.lax.fori_loop(
-                0, TL0, functools.partial(regeo_tile, with_di=False), 0,
+                0, TL0R, functools.partial(regeo_tile, with_di=False), 0,
                 unroll=False,
             )
             jax.lax.fori_loop(
-                TL0, T, functools.partial(regeo_tile, with_di=True), 0,
+                TL0R, TR, functools.partial(regeo_tile, with_di=True), 0,
                 unroll=False,
             )
 
@@ -443,33 +462,47 @@ def _block_kernel(
                    bp.hq_lns[l], bp.hq_lnb[l], bp.hq_w2[l], bp.hq_b2[l])
 
         def x2h_tile(ti, _):
-            rows = pl.ds(ti * TI, TI)
-            erows = pl.ds(ti * TNK, TNK)
-            # raw 128-lane neighbor-h gather, computed in-tile: feeding the
-            # projection dot directly avoids a [NK, H] scratch round-trip
-            if "gather" in ablate:  # timing stand-in: destination-row bcast
-                hj = jnp.broadcast_to(
-                    hbuf[src, rows, :][:, None, :], (TI, K, H)
-                ).reshape(TNK, H)
-            else:
-                hj = jnp.dot(
-                    ocache[erows, :], hbuf[src], preferred_element_type=jnp.float32
+            def _run():
+                rows = pl.ds(ti * TI, TI)
+                erows = pl.ds(ti * TNK, TNK)
+                # raw 128-lane neighbor-h gather, computed in-tile: feeding the
+                # projection dot directly avoids a [NK, H] scratch round-trip
+                if "gather" in ablate:  # timing stand-in: destination-row bcast
+                    hj = jnp.broadcast_to(
+                        hbuf[src, rows, :][:, None, :], (TI, K, H)
+                    ).reshape(TNK, H)
+                else:
+                    hj = jnp.dot(
+                        ocache[erows, :], hbuf[src], preferred_element_type=jnp.float32
+                    ).astype(dtype)
+                feat = ecache[erows, 0:ER]
+                hi_kv_rep = jnp.broadcast_to(
+                    ni[rows, :][:, None, :], (TI, K, 2 * H)
+                ).reshape(TNK, 2 * H)
+                k, v = edge_mlp_kv(hj, feat, hi_kv_rep, bp.h_w1er[l], bp.h_w1j[l],
+                                   bp.h_lns[l], bp.h_lnb[l],
+                                   bp.h_w2k[l], bp.h_b2k[l], bp.h_w2v[l], bp.h_b2v[l])
+                if "soft" in ablate:
+                    out = jnp.dot(SEG, v, preferred_element_type=jnp.float32)
+                else:
+                    out = att_out(k, v, nq[rows, :].astype(dtype),
+                                  lcache[erows, 0:1], lcache[erows, 1:2])
+                hbuf[dst, rows, :] = (
+                    out + hbuf[src, rows, :].astype(jnp.float32)
                 ).astype(dtype)
-            feat = ecache[erows, 0:ER]
-            hi_kv_rep = jnp.broadcast_to(
-                ni[rows, :][:, None, :], (TI, K, 2 * H)
-            ).reshape(TNK, 2 * H)
-            k, v = edge_mlp_kv(hj, feat, hi_kv_rep, bp.h_w1er[l], bp.h_w1j[l],
-                               bp.h_lns[l], bp.h_lnb[l],
-                               bp.h_w2k[l], bp.h_b2k[l], bp.h_w2v[l], bp.h_b2v[l])
-            if "soft" in ablate:
-                out = jnp.dot(SEG, v, preferred_element_type=jnp.float32)
+
+            if need_full_h:
+                _run()
             else:
-                out = att_out(k, v, nq[rows, :].astype(dtype),
-                              nmask_ref[0, rows, :], ewbuf[rows, :])
-            hbuf[dst, rows, :] = (
-                out + hbuf[src, rows, :].astype(jnp.float32)
-            ).astype(dtype)
+                # LAST-LAYER TILE SKIP (v9, sampling only): after the final
+                # x2h, protein h is consumed ONLY as h2x gather sources of
+                # ligand-destination edges. Tiles containing neither ligand
+                # rows nor any such source (flag second half) are dead work
+                # on the last layer; their hbuf[dst] rows go stale, so hout's
+                # protein rows are NOT valid when need_full_h=False.
+                pl.when(jnp.logical_or(
+                    l < L - 1, flags_ref[0, 0, TR + ti] != 0
+                ))(_run)
             return 0
 
         if "x2h" not in ablate:
@@ -507,15 +540,14 @@ def _block_kernel(
             nq[lrows, :].astype(dtype)[:, None, :], (NLIG, K, H)
         ).reshape(LK, H)
         lg = jnp.dot(k * q_rep, S128, preferred_element_type=jnp.float32)
-        nm1 = lift_rows(nmask_ref[0, lrows, :], NLIG, LK)
-        g = jnp.exp(jnp.clip(lg, -60.0, 60.0)) * nm1
+        # mask folded into exp as the cached additive bias (see init)
+        g = jnp.exp(jnp.clip(lg + lcache[lerows, 0:1], -60.0, 60.0))
         denL = jnp.dot(SEGL, g.astype(dtype),
                        preferred_element_type=jnp.float32)  # [NLIG, H]
         den_rep = jnp.broadcast_to(
             denL[:, None, :], (NLIG, K, H)
         ).reshape(LK, H)
-        ew1 = lift_rows(ewbuf[lrows, :], NLIG, LK)
-        w = g / jnp.maximum(den_rep, 1e-30) * ew1
+        w = g * lcache[lerows, 1:2] / jnp.maximum(den_rep, 1e-30)
         # sum over all H lanes counts each head dh times -> /H not /n_heads
         s = (w * v16.astype(jnp.float32)).sum(-1, keepdims=True) / H
         sr = s * rel
@@ -549,7 +581,7 @@ def estimate_vmem_bytes(N: int, K: int, H: int = 128, n_ligand: int = 32) -> int
         2 * N * H * 2  # hbuf bf16
         + N * 3 * 4  # xfull f32
         + N * 8 * 4  # dnode f32
-        + N * K * 4  # ewbuf
+        + NK * 8 * 4  # lcache [mask | mask*ew]
         + NK * 128 * 2  # ecache bf16
         + NK * 128 * 2  # e4rep (static et masks) bf16
         + NK * 8 * 4  # relc f32
@@ -570,17 +602,79 @@ def block_denoiser_fits(N: int, K: int, H: int = 128, n_ligand: int = 32) -> boo
     return estimate_vmem_bytes(N, K, H, n_ligand) <= VMEM_SCRATCH_BUDGET
 
 
+def pick_tile(N: int, tile: int = 104) -> int:
+    """Largest 8-aligned divisor of N at most `tile` (whole-N fallback for
+    small/unaligned N). Must match block_denoiser's internal choice — used
+    by compute_tile_flags to size the per-tile flag vector."""
+    TI = min(tile, N)
+    while TI > 8 and (N % TI or TI % 8):
+        TI -= 8
+    if N % TI:
+        TI = N
+    return TI
+
+
+def compute_tile_flags(idx, nbr_mask, n_ligand: int, tile: int = 104,
+                       rtile: int = 104):
+    """Per-complex, per-tile work flags for the v9 megakernel,
+    [B, TR + T] int32 (TR regeo tiles of rtile rows, T x2h tiles of `tile`).
+
+    First TR entries (regeo-dirty): tile has >= 1 edge touching a ligand
+    atom (valid ligand source, or the tile contains ligand-destination
+    rows) — only those tiles' geometry changes between layers, so only they
+    need the per-layer ecache/relc refresh. Last T entries (last-x2h-live):
+    tile contains ligand rows or a valid SOURCE of a ligand-destination
+    edge — with need_full_h=False the final x2h pass skips the rest (their
+    h is consumed by nothing). Both are EXACT properties of the step's kNN
+    graph, recomputed per call; all-ones reproduces v8 behavior."""
+    B, N, K = idx.shape
+    TI = pick_tile(N, tile)
+    T = N // TI
+    TIR = pick_tile(N, rtile)
+    TR = N // TIR
+    NPAD = N - n_ligand
+    valid = nbr_mask.astype(bool)
+    row_lig = (jnp.arange(N) >= NPAD)[None, :]
+    dirty = ((idx >= NPAD) & valid).any(-1) | row_lig
+    regeo_f = dirty.reshape(B, TR, TIR).any(-1)
+    lig_src = jnp.where(valid[:, NPAD:, :], idx[:, NPAD:, :], 0)
+    mark = (
+        jnp.zeros((B, N), jnp.int32)
+        .at[jnp.arange(B)[:, None, None], lig_src]
+        .max(valid[:, NPAD:, :].astype(jnp.int32))
+    )
+    need = (mark > 0) | row_lig
+    lx_f = need.reshape(B, T, TI).any(-1)
+    return jnp.concatenate([regeo_f, lx_f], axis=-1).astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_layers", "n_heads", "coeff", "dtype", "interpret",
-                     "tile", "n_ligand", "ablate"),
+                     "tile", "rtile", "n_ligand", "ablate", "need_full_h"),
 )
 def block_denoiser(
     h, x, idx, nbr_mask, mask_ligand, offsets,
     ew_params: EwParams, block_params: BlockParams,
     *, num_layers, n_heads=16, coeff=-0.5, dtype=jnp.bfloat16, interpret=False,
-    tile=104, n_ligand=32, ablate=(),
+    tile=104, rtile=104, n_ligand=32, ablate=(), tile_flags=None,
+    need_full_h=True,
 ):
+    """Run all `num_layers` attention layers for a batch of complexes in one
+    pallas_call (inference megakernel).
+
+    NUMERIC CONTRACT — |attention logit| <= 60: the shift-free softmax exps
+    +-60-CLIPPED logits with no runtime guard. Any per-head uniform shift
+    cancels in num/den, so the clip is EXACT whenever every |q.k/sqrt(dh)|
+    <= 60 — always true for LN-bounded trained weights, but NOT for
+    arbitrary synthetic weights (unit-scale random params reach |q.k| ~ 90).
+    Out-of-envelope logits distort attention silently (e.g. a head whose
+    logits all exceed +60 collapses to uniform). Vet a new checkpoint with
+    `python tools/logit_envelope.py <ckpt>` which reports the true max
+    |logit| over a forward pass (via the XLA path's 'stats' collection).
+    The trainable VJP kernels (edge_layer_vjp.py) use max-shift softmax and
+    carry no such contract.
+    """
     B, N, H = h.shape
     K = idx.shape[-1]
     if not interpret and not block_denoiser_fits(N, K, H, n_ligand):
@@ -591,15 +685,15 @@ def block_denoiser(
             f"(the [N*K, N] one-hot cache dominates); use the per-layer "
             f"'layers' mode for this shape"
         )
-    # largest 8-aligned divisor of N at most `tile`; whole-N fallback for
-    # small/unaligned N (interpret-mode tests) — the old descending loop
-    # never terminated for N % 8 != 0
-    TI = min(tile, N)
-    while TI > 8 and (N % TI or TI % 8):
-        TI -= 8
-    if N % TI:
-        TI = N
+    TI = pick_tile(N, tile)
+    T = N // TI
+    TIR = pick_tile(N, rtile)
+    TR = N // TIR
+    NF = TR + T
     R = offsets.shape[-1]
+    if tile_flags is None:
+        tile_flags = jnp.ones((B, NF), jnp.int32)  # all-dirty == v8
+    assert tile_flags.shape == (B, NF), (tile_flags.shape, B, NF)
 
     NLIG = n_ligand
     assert NLIG <= 128, "ligand block must fit the 128-lane gather"
@@ -608,28 +702,54 @@ def block_denoiser(
     )
     kern = functools.partial(
         _block_kernel, N=N, H=H, K=K, L=num_layers, n_heads=n_heads,
-        coeff=coeff, dtype=dtype, TI=TI, NLIG=NLIG, ablate=ablate,
+        coeff=coeff, dtype=dtype, TI=TI, TIR=TIR, NLIG=NLIG, ablate=ablate,
+        need_full_h=need_full_h,
     )
 
     n_ew = len(EwParams._fields)
     n_bp = len(BlockParams._fields)
 
     def wrapped(*refs):
-        regular = refs[:6]
-        ewp = EwParams(*refs[6 : 6 + n_ew])
-        bpp = BlockParams(*refs[6 + n_ew : 6 + n_ew + n_bp])
-        outs = refs[6 + n_ew + n_bp : 6 + n_ew + n_bp + 2]
-        scratch = refs[6 + n_ew + n_bp + 2 :]
+        regular = refs[:11]
+        ewp = EwParams(*refs[11 : 11 + n_ew])
+        bpp = BlockParams(*refs[11 + n_ew : 11 + n_ew + n_bp])
+        outs = refs[11 + n_ew + n_bp : 11 + n_ew + n_bp + 2]
+        scratch = refs[11 + n_ew + n_bp + 2 :]
         kern(*regular, ewp, bpp, *outs, *scratch)
+
+    # complex-independent constants, hoisted out of the kernel body: the
+    # head-sum/replicate matrix and the K-segment aggregation matrices
+    # (constant index_map -> one DMA, VMEM-resident across the grid)
+    dh_ = H // n_heads
+    lane_i = jnp.arange(H)[:, None] // dh_
+    lane_j = jnp.arange(H)[None, :] // dh_
+    s128 = jnp.where(lane_i == lane_j, 1.0 / math.sqrt(dh_), 0.0).astype(dtype)
+    TNK_ = TI * K
+    seg = (jnp.arange(TNK_)[None, :] // K == jnp.arange(TI)[:, None]).astype(dtype)
+    LK_ = NLIG * K
+    seglf = (
+        jnp.arange(LK_)[None, :] // K == jnp.arange(NLIG)[:, None]
+    ).astype(jnp.float32)
+    segl = seglf.astype(dtype)
 
     in_specs = (
         [
+            # per-complex flag row in SMEM; the [B, 1, 2T] layout makes the
+            # block's last two dims equal the array's, satisfying the
+            # Pallas TPU (8,128)-divisibility rule, and avoids program_id
+            # (unsupported by interpret-mode lowering on this image)
+            pl.BlockSpec((1, 1, NF), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),  # per-tile work flags
             pl.BlockSpec((1, N, H), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, N, 3), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, N, K), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, N, K), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, N, 1), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, R), lambda b: (0, 0)),
+            pl.BlockSpec((H, H), lambda b: (0, 0)),
+            pl.BlockSpec((TI, TNK_), lambda b: (0, 0)),
+            pl.BlockSpec((NLIG, LK_), lambda b: (0, 0)),
+            pl.BlockSpec((NLIG, LK_), lambda b: (0, 0)),
         ]
         + [pl.BlockSpec(p.shape, lambda b: (0,) * p.ndim) for p in ew_params]
         + [pl.BlockSpec(p.shape, lambda b: (0,) * p.ndim) for p in block_params]
@@ -651,7 +771,7 @@ def block_denoiser(
             pltpu.VMEM((2, N, H), dtype),
             pltpu.VMEM((N, 3), jnp.float32),  # xfull: current positions
             pltpu.VMEM((N, 8), jnp.float32),  # dnode: last-h2x per-node delta
-            pltpu.VMEM((N, K), jnp.float32),  # ewbuf
+            pltpu.VMEM((N * K, 8), jnp.float32),  # lcache: [mask | mask*ew]
             pltpu.VMEM((N * K, 128), dtype),  # ecache
             pltpu.VMEM((N * K, 128), dtype),  # e4rep (static et masks)
             pltpu.VMEM((N * K, 8), jnp.float32),  # relc
@@ -664,9 +784,11 @@ def block_denoiser(
            if _needs_olcache(N, NLIG) else []),
         interpret=interpret,
     )(
+        tile_flags.astype(jnp.int32)[:, None, :],
         h, x.astype(jnp.float32), idx.astype(jnp.int32),
         nbr_mask.astype(jnp.float32),
         mask_ligand.astype(jnp.float32)[..., None], offsets.reshape(1, -1),
+        s128, seg, segl, seglf,
         *ew_params, *block_params,
     )
     return hout, xout

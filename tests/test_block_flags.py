@@ -1,0 +1,109 @@
+"""v9 megakernel work flags: dirty-tile regeo skip + last-x2h tile skip.
+
+The flags are EXACT graph properties (compute_tile_flags), so skipping must
+not change any consumed output: clean tiles' geometry caches stay valid by
+construction, and last-x2h-dead tiles' h is consumed by nothing when
+need_full_h=False. Verified in interpret mode on a two-cluster geometry
+where half the tiles are genuinely clean.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from targetdiff_tpu.models.fast_forward import extract_block_params
+from targetdiff_tpu.ops import graph as G
+from targetdiff_tpu.ops.pallas.block_denoiser import (
+    block_denoiser,
+    compute_tile_flags,
+    pick_tile,
+)
+from targetdiff_tpu.ops.rbf import gaussian_smearing_offsets
+from __graft_entry__ import _flagship
+
+B, NPRO, NL, K, H, L, HEADS, TILE = 2, 24, 8, 4, 128, 3, 16, 8
+N = NPRO + NL
+
+
+def _geometry():
+    """Protein rows 0..15 = far cluster (100 A away, never neighbors of the
+    ligand side), 16..23 = near cluster; ligand tail at the origin."""
+    rng = np.random.default_rng(0)
+    x = np.zeros((B, N, 3), np.float32)
+    x[:, :16] = rng.normal(size=(B, 16, 3)) * 2 + np.array([100.0, 0, 0])
+    x[:, 16:24] = rng.normal(size=(B, 8, 3)) * 2
+    x[:, 24:] = rng.normal(size=(B, NL, 3))
+    nbh = G.knn_graph(jnp.asarray(x), jnp.ones((B, N), bool), K)
+    return jnp.asarray(x), nbh.idx, nbh.mask
+
+
+def _params_and_run(x, idx, nmask, flags, need_full_h):
+    model, b = _flagship(num_timesteps=10, max_protein=NPRO, max_ligand=NL, batch=2)
+    params = model.init(jax.random.PRNGKey(0), b)
+    ew_p, block_p = extract_block_params(
+        params["params"]["refine_net"], L, H, 20, dtype=jnp.float32
+    )
+    offsets, coeff = gaussian_smearing_offsets(0.0, 10.0, 20)
+    rng = np.random.default_rng(1)
+    h = jnp.asarray(rng.normal(size=(B, N, H)).astype(np.float32))
+    mlig = jnp.asarray(np.broadcast_to(np.arange(N)[None] >= NPRO, (B, N)))
+    return block_denoiser(
+        h, x, idx, nmask, mlig, offsets, ew_p, block_p,
+        num_layers=L, n_heads=HEADS, coeff=coeff, dtype=jnp.float32,
+        interpret=True, tile=TILE, rtile=TILE, n_ligand=NL,
+        tile_flags=flags, need_full_h=need_full_h,
+    )
+
+
+def test_flags_match_bruteforce():
+    x, idx, nmask = _geometry()
+    flags = np.asarray(compute_tile_flags(idx, nmask, NL, tile=TILE, rtile=TILE))
+    TI = pick_tile(N, TILE)
+    T = N // TI
+    assert T == 4
+    idx_np, m_np = np.asarray(idx), np.asarray(nmask)
+    NPAD = N - NL
+    for b in range(B):
+        dirty_row = ((idx_np[b] >= NPAD) & m_np[b]).any(-1) | (np.arange(N) >= NPAD)
+        src_of_lig = np.zeros(N, bool)
+        for r in range(NPAD, N):
+            src_of_lig[idx_np[b, r][m_np[b, r]]] = True
+        need_row = src_of_lig | (np.arange(N) >= NPAD)
+        for t in range(T):
+            sl = slice(t * TI, (t + 1) * TI)
+            assert flags[b, t] == int(dirty_row[sl].any()), (b, t)
+            assert flags[b, T + t] == int(need_row[sl].any()), (b, t)
+    # the far cluster (tiles 0-1) must actually be clean, or the test is vacuous
+    assert flags[:, 0:2].sum() == 0 and flags[:, T : T + 2].sum() == 0
+
+
+def test_skip_is_exact_for_consumed_outputs():
+    x, idx, nmask = _geometry()
+    flags = compute_tile_flags(idx, nmask, NL, tile=TILE, rtile=TILE)
+    h_full, x_full = _params_and_run(x, idx, nmask, None, True)  # all-dirty v8
+    h_flag, x_flag = _params_and_run(x, idx, nmask, flags, True)
+    # regeo skip alone changes NOTHING (clean tiles recompute identical values)
+    np.testing.assert_allclose(np.asarray(x_flag), np.asarray(x_full), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(h_flag), np.asarray(h_full), atol=1e-5, rtol=1e-5
+    )
+
+    h_s, x_s = _params_and_run(x, idx, nmask, flags, False)  # + last-x2h skip
+    np.testing.assert_allclose(np.asarray(x_s), np.asarray(x_full), atol=1e-6)
+    # ligand h (everything sampling consumes) must be exact; skipped protein
+    # tiles' h is documented-stale
+    np.testing.assert_allclose(
+        np.asarray(h_s[:, NPRO:]), np.asarray(h_full[:, NPRO:]),
+        atol=1e-5, rtol=1e-5,
+    )
+    # live protein tiles (flagged) must also be exact
+    T = N // pick_tile(N, TILE)
+    fl = np.asarray(flags)
+    for b in range(B):
+        for t in range(N // pick_tile(N, TILE)):
+            if fl[b, T + t]:
+                sl = slice(t * pick_tile(N, TILE), (t + 1) * pick_tile(N, TILE))
+                np.testing.assert_allclose(
+                    np.asarray(h_s[b, sl]), np.asarray(h_full[b, sl]),
+                    atol=1e-5, rtol=1e-5,
+                )

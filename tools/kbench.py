@@ -1,6 +1,10 @@
 """Megakernel microbenchmark: time ONE block_denoiser call on the real TPU.
 
-Usage: python tools/kbench.py [N_protein] [tile] [batch] [reps] [ablate,...]
+Usage: python tools/kbench.py [N_protein] [tile] [batch] [reps] [ablate,...] [geom]
+
+geom: rand (default; uniform idx, all tiles dirty — v8-equivalent) or
+pocket (realistic CrossDocked-like geometry + real kNN + per-tile work
+flags + need_full_h=False — the v9 sampling configuration; see tools/_geom.py)
 
 ablate options (comma-separated; timing attribution only — changes results):
 regeo, x2h, h2x, init, gather, ln, soft, w2, sa_avm, sa_den, lndots, lnfull
@@ -34,7 +38,8 @@ def main():
     tile = int(sys.argv[2]) if len(sys.argv) > 2 else 104
     B = int(sys.argv[3]) if len(sys.argv) > 3 else 100
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 5
-    ablate = tuple(sys.argv[5].split(",")) if len(sys.argv) > 5 else ()
+    ablate = tuple(a for a in (sys.argv[5].split(",") if len(sys.argv) > 5 else ()) if a)
+    geom = sys.argv[6] if len(sys.argv) > 6 else "rand"
     NL = 32
     N = NPRO + NL
     K, H, L, heads = 32, 128, 9, 16
@@ -45,19 +50,20 @@ def main():
     ew_p, block_p = extract_block_params(rp, L, H, 20, dtype=jnp.bfloat16)
     offsets, coeff = gaussian_smearing_offsets(0.0, 10.0, 20)
 
-    rng = np.random.default_rng(0)
-    h = jnp.asarray(rng.normal(size=(B, N, H)).astype(np.float32)).astype(jnp.bfloat16)
-    x = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32) * 4)
-    idx = jnp.asarray(rng.integers(0, N, (B, N, K)).astype(np.int32))
-    nmask = jnp.asarray(rng.random((B, N, K)) > 0.1)
-    mlig = jnp.asarray(np.arange(N)[None, :] >= NPRO).astype(jnp.bool_)
-    mlig = jnp.broadcast_to(mlig, (B, N))
+    from _geom import kernel_inputs
+
+    h, x, idx, nmask, mlig, flags = kernel_inputs(geom, B, NPRO, NL, K, H)
+    h = jnp.asarray(h).astype(jnp.bfloat16)
+    x, idx = jnp.asarray(x), jnp.asarray(idx)
+    nmask, mlig = jnp.asarray(nmask), jnp.asarray(mlig)
+    flags = None if flags is None else jnp.asarray(flags)
 
     def run(hh):
         return block_denoiser(
             hh, x, idx, nmask, mlig, offsets, ew_p, block_p,
             num_layers=L, n_heads=heads, coeff=coeff, dtype=jnp.bfloat16,
             tile=tile, n_ligand=NL, ablate=ablate,
+            tile_flags=flags, need_full_h=flags is None,
         )
 
     t0 = time.time()

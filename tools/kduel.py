@@ -1,0 +1,102 @@
+"""Same-process duel of block_denoiser configurations (the chip drifts
+10-100% between sessions — only same-process comparisons are valid).
+
+Usage: python tools/kduel.py [NPRO] [B] [reps] [lig_sigma]
+
+Times, in ONE process on the SAME pocket-geometry inputs:
+  all-dirty   flags = ones (v8-equivalent work)
+  flags       real compute_tile_flags + need_full_h=False (v9 sampling mode)
+and prints the delta. lig_sigma adds Gaussian noise to ligand positions
+(mimics mid-diffusion states where more tiles are dirty).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def chain_time(run, h0, reps):
+    meds = []
+    for _ in range(3):
+        hh = h0
+        t0 = time.time()
+        for _ in range(reps):
+            ho, xo = run(hh)
+            hh = ho
+        np.asarray(xo[0, 0, 0])
+        meds.append((time.time() - t0) / reps)
+    return min(meds) * 1e3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from targetdiff_tpu.models.fast_forward import extract_block_params
+    from targetdiff_tpu.ops.pallas.block_denoiser import block_denoiser
+    from targetdiff_tpu.ops.rbf import gaussian_smearing_offsets
+    from __graft_entry__ import _flagship
+    from _geom import kernel_inputs
+
+    NPRO = int(sys.argv[1]) if len(sys.argv) > 1 else 384
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    lig_sigma = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
+    NL, K, H, L, heads, tile = 32, 32, 128, 9, 16, 104
+    N = NPRO + NL
+
+    model, b = _flagship(num_timesteps=1000, max_protein=NPRO, max_ligand=NL, batch=2)
+    params = model.init(jax.random.PRNGKey(0), b)
+    ew_p, block_p = extract_block_params(
+        params["params"]["refine_net"], L, H, 20, dtype=jnp.bfloat16
+    )
+    offsets, coeff = gaussian_smearing_offsets(0.0, 10.0, 20)
+
+    h, x, idx, nmask, mlig, flags = kernel_inputs(
+        "pocket", B, NPRO, NL, K, H, lig_sigma=lig_sigma
+    )
+    h = jnp.asarray(h).astype(jnp.bfloat16)
+    x, idx = jnp.asarray(x), jnp.asarray(idx)
+    nmask, mlig = jnp.asarray(nmask), jnp.asarray(mlig)
+    ones = jnp.ones_like(jnp.asarray(flags))
+    flags = jnp.asarray(flags)
+
+    def make(fl, nfh, rt=32):
+        def run(hh):
+            return block_denoiser(
+                hh, x, idx, nmask, mlig, offsets, ew_p, block_p,
+                num_layers=L, n_heads=heads, coeff=coeff, dtype=jnp.bfloat16,
+                tile=tile, rtile=rt, n_ligand=NL, tile_flags=fl, need_full_h=nfh,
+            )
+        return run
+
+    results = {}
+    for name, fl, nfh, rt in (
+        ("all-dirty", ones, True, 32),
+        ("flags-rt32", flags, False, 32),
+        ("flags-rt104", None, False, 104),
+        ("flags-rt16", None, False, 16),
+    ):
+        if fl is None:  # flags sized for this rtile
+            import jax.numpy as jnp2
+            from targetdiff_tpu.ops.pallas.block_denoiser import compute_tile_flags
+            fl = compute_tile_flags(idx, nmask, NL, rtile=rt)
+        run = make(fl, nfh, rt)
+        t0 = time.time()
+        ho, xo = run(h)
+        np.asarray(xo[0, 0, 0])
+        med = chain_time(run, h, reps)
+        results[name] = med
+        print(f"{name:<10} {med:8.2f} ms/call  (compile {time.time()-t0:.0f}s)",
+              flush=True)
+    best = min(v for k, v in results.items() if k != "all-dirty")
+    d = results["all-dirty"] - best
+    print(f"best-flags delta: {d:+.2f} ms ({100*d/results['all-dirty']:.1f}%)")
+
+
+if __name__ == "__main__":
+    main()

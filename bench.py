@@ -58,16 +58,19 @@ def main():
     impl = sys.argv[3] if len(sys.argv) > 3 else "fast"  # fused Pallas kernels
     dtype = jnp.bfloat16
 
-    # realistic pocket/ligand sizes: ~330 valid pocket atoms (10A crossdocked
-    # pocket), ligands up to 32 atoms (test-set mean ~25)
+    # realistic pocket/ligand GEOMETRY (round 4): ~330 valid pocket atoms
+    # filling a 2-10A shell around a covalent-geometry ligand of 18-28 atoms
+    # (the crossdocked pocket10 extraction rule) — not the round-1..3
+    # Gaussian blob. Same padded shapes/workload; this matters because the
+    # v9 megakernel skips work via per-step graph structure (dirty tiles),
+    # which random blobs under-represent (see BASELINE.md round-4 notes).
     model, b = _flagship(num_timesteps=1000, max_protein=384, max_ligand=32, batch=batch)
     model.net = model.net.clone(dtype=dtype)
+    from targetdiff_tpu.data.synth import synth_batch
+
     rng = np.random.default_rng(0)
-    pmask = np.zeros((batch, 384), bool)
-    pmask[:, :330] = True
-    sizes = rng.integers(18, 33, size=(batch,))
-    lmask = np.arange(32)[None, :] < sizes[:, None]
-    b = b._replace(protein_mask=jnp.asarray(pmask), ligand_mask=jnp.asarray(lmask))
+    b = synth_batch(rng, batch, max_protein=384, max_ligand=32,
+                    n_protein_range=(330, 331), n_ligand_range=(18, 28))
 
     params = model.init(jax.random.PRNGKey(0), b)
     key = jax.random.PRNGKey(1)
@@ -98,6 +101,12 @@ def main():
     spread = (max(times) - min(times)) / dt if n_rep > 1 else 0.0
 
     train_sps = _bench_train(model, b)
+    # train step ~= forward + backward ~= 3x forward model FLOPs (standard
+    # fwd:bwd FLOP ratio for matmul-dominated nets), batch 16
+    train_mfu = (
+        round(3 * analytic_step_tflops(16) * train_sps / PEAK_BF16_TFLOPS, 4)
+        if train_sps else None
+    )
 
     mol_per_sec = batch / dt
     n_chips = 1  # single-chip benchmark; sampling scales linearly over dp
@@ -113,6 +122,7 @@ def main():
                 "vs_baseline": round(value / BASELINE_MOL_PER_SEC, 2),
                 "rep_spread": round(spread, 3),
                 "train_steps_per_sec": train_sps,
+                "train_mfu": train_mfu,
                 "tflops_per_step": round(step_tflops, 3),
                 "achieved_tflops": round(step_tflops / step_time, 1),
                 "mfu": round(step_tflops / step_time / PEAK_BF16_TFLOPS, 4),

@@ -58,11 +58,12 @@ def main():
     model, b = _flagship(num_timesteps=1000, max_protein=NPRO, max_ligand=NL, batch=B)
     model.net = model.net.clone(dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-    pmask = np.zeros((B, NPRO), bool)
-    pmask[:, :330] = True
-    sizes = rng.integers(18, 33, size=(B,))
-    lmask = np.arange(NL)[None, :] < sizes[:, None]
-    b = b._replace(protein_mask=jnp.asarray(pmask), ligand_mask=jnp.asarray(lmask))
+    # realistic pocket geometry, matching bench.py (round 4): the v9 kernel
+    # skips work from per-step graph structure
+    from targetdiff_tpu.data.synth import synth_batch
+
+    b = synth_batch(rng, B, max_protein=NPRO, max_ligand=NL,
+                    n_protein_range=(330, 331), n_ligand_range=(18, 28))
     params = model.init(jax.random.PRNGKey(0), b)
     key = jax.random.PRNGKey(1)
     init_pos, init_v = init_ligand_state(key, b, model.num_classes)

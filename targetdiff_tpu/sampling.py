@@ -252,6 +252,16 @@ def sample_testset_sharded(
             f"largest pocket has {np_max} atoms but max_protein={max_protein}"
         )
     NPpad = min(max_protein, -(-np_max // 64) * 64)
+    # tile-aware padding: the megakernel tiles N = NPpad + max_ligand into
+    # its largest 8-aligned divisor <= 104; an awkward N (e.g. 544 -> TI=32)
+    # runs markedly slower than a slightly LARGER padded N with a wide tile
+    # (e.g. 576 -> TI=96). Bump in 64-row steps while that helps.
+    from .ops.pallas.block_denoiser import pick_tile
+
+    while (NPpad + 64 <= max_protein
+           and pick_tile(NPpad + max_ligand) < 64
+           and pick_tile(NPpad + 64 + max_ligand) > pick_tile(NPpad + max_ligand)):
+        NPpad += 64
     bank_pos = np.zeros((P, NPpad, 3), np.float32)
     bank_feat = np.zeros((P, NPpad, fp), np.float32)
     bank_len = np.zeros((P,), np.int32)

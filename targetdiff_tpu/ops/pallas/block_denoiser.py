@@ -152,13 +152,13 @@ def _ln_relu(x, scale, bias, eps=1e-5, out_dtype=None, skip_ln=False,
 
 def _block_kernel(
     flags_ref, h_ref, x_ref, idx_ref, nmask_ref, mlig_ref, offsets_ref,
-    s128_ref, seg_ref, segl_ref, seglf_ref,
+    ewin_ref, s128_ref, seg_ref, segl_ref, seglf_ref,
     ewp: EwParams, bp: BlockParams,
-    hout_ref, xout_ref,
+    hout_ref, xout_ref, hck_ref, xck_ref,
     hbuf, xfull, dnode, lcache, ecache, e4rep, relc, ocache,
     dlig, ni, nq, olcache=None,
     *, N, H, K, L, n_heads, coeff, dtype, TI, TIR, NLIG, ablate=(),
-    need_full_h=True,
+    need_full_h=True, train_mode=False,
 ):
     NK = N * K
     dh = H // n_heads
@@ -189,6 +189,10 @@ def _block_kernel(
 
     hbuf[0] = h_ref[0].astype(dtype)
     xfull[:, :] = x_ref[0].astype(jnp.float32)
+    if train_mode:
+        # per-layer checkpoints for the whole-block backward (block_vjp.py)
+        hck_ref[0, 0] = hbuf[0].astype(jnp.float32)
+        xck_ref[0, 0] = xfull[:, :]
     # uninitialized lanes/rows of the ligand-delta staging buffer would feed
     # 0 * garbage into the regeo dot — zero it once per complex; dnode's
     # protein rows must stay zero (only ligand rows are ever written)
@@ -291,12 +295,19 @@ def _block_kernel(
             [feat80.astype(dtype), et4f.astype(dtype), zrest], axis=1
         )
         relc[erows, 0:3] = rel
-        z = jnp.dot(rbf.astype(dtype), ewp.w1[:], preferred_element_type=jnp.float32) + ewp.b1[:]
-        z = _ln_relu(z, ewp.lns[:], ewp.lnb[:], out_dtype=dtype, mode=ln_mode)
-        # ewp.w2 arrives lane-replicated [H, H] (see extract_block_params);
-        # every output lane holds the same logit — slice lane 0
-        logit = jnp.dot(z, ewp.w2[:], preferred_element_type=jnp.float32
-                        )[:, 0:1] + ewp.b2[:]
+        if train_mode:
+            # training: e_w comes from the (differentiable) XLA MLP input
+            ew1 = lift_rows(ewin_ref[0, rows, :], TI, TNK)
+        else:
+            z = jnp.dot(rbf.astype(dtype), ewp.w1[:],
+                        preferred_element_type=jnp.float32) + ewp.b1[:]
+            z = _ln_relu(z, ewp.lns[:], ewp.lnb[:], out_dtype=dtype,
+                         mode=ln_mode)
+            # ewp.w2 arrives lane-replicated [H, H] (extract_block_params);
+            # every output lane holds the same logit — slice lane 0
+            logit = jnp.dot(z, ewp.w2[:], preferred_element_type=jnp.float32
+                            )[:, 0:1] + ewp.b2[:]
+            ew1 = jax.nn.sigmoid(logit)
         # CACHED LIFTS (v9): per-edge [NK, 1] row-form mask BIAS and edge
         # weight, built ONCE here — every layer's softmax previously
         # re-broadcast both from [TI, K] (2 extra full-lane passes per tile
@@ -307,7 +318,7 @@ def _block_kernel(
         # only ever true for PADDED rows, whose h/x is never consumed.
         nm1 = lift_rows(nmask_ref[0, rows, :], TI, TNK)
         lcache[erows, 0:1] = (nm1 - 1.0) * 1e9
-        lcache[erows, 1:2] = jax.nn.sigmoid(logit)
+        lcache[erows, 1:2] = ew1
         return 0
 
     if "init" not in ablate:
@@ -509,6 +520,8 @@ def _block_kernel(
             # (pairwise manual unroll measured 2.8 ms WORSE — Mosaic does
             # not cross-schedule independent tiles; keep one tile per iter)
             jax.lax.fori_loop(0, T, x2h_tile, 0, unroll=False)
+        if train_mode:
+            hck_ref[0, l + 1] = hbuf[dst].astype(jnp.float32)
 
         # ---- pass B: h2x, LIGAND-destination rows only ----
         # x updates are masked to ligand atoms (reference
@@ -555,6 +568,8 @@ def _block_kernel(
         delta = delta * mlig_ref[0, lrows, :]  # padded ligand rows stay put
         dnode[lrows, 0:3] = delta
         xfull[lrows, :] = xfull[lrows, :] + delta
+        if train_mode:
+            xck_ref[0, l + 1] = xfull[:, :]
         return 0
 
     jax.lax.fori_loop(0, L, layer_body, 0, unroll=False)
@@ -651,14 +666,15 @@ def compute_tile_flags(idx, nbr_mask, n_ligand: int, tile: int = 104,
 @functools.partial(
     jax.jit,
     static_argnames=("num_layers", "n_heads", "coeff", "dtype", "interpret",
-                     "tile", "rtile", "n_ligand", "ablate", "need_full_h"),
+                     "tile", "rtile", "n_ligand", "ablate", "need_full_h",
+                     "train_checkpoints"),
 )
 def block_denoiser(
     h, x, idx, nbr_mask, mask_ligand, offsets,
     ew_params: EwParams, block_params: BlockParams,
     *, num_layers, n_heads=16, coeff=-0.5, dtype=jnp.bfloat16, interpret=False,
     tile=104, rtile=104, n_ligand=32, ablate=(), tile_flags=None,
-    need_full_h=True,
+    need_full_h=True, ew_in=None, train_checkpoints=False,
 ):
     """Run all `num_layers` attention layers for a batch of complexes in one
     pallas_call (inference megakernel).
@@ -674,6 +690,12 @@ def block_denoiser(
     |logit| over a forward pass (via the XLA path's 'stats' collection).
     The trainable VJP kernels (edge_layer_vjp.py) use max-shift softmax and
     carry no such contract.
+
+    TRAIN-FORWARD MODE (round 4): ew_in=[B,N,K] supplies the edge weights
+    from the differentiable XLA MLP (the in-kernel EwParams MLP is skipped),
+    and train_checkpoints=True additionally returns per-layer checkpoint
+    stacks (hck [B, L+1, N, H] f32, xck [B, L+1, N, 3] f32) for the
+    whole-block fused backward (ops/pallas/block_vjp.py).
     """
     B, N, H = h.shape
     K = idx.shape[-1]
@@ -700,21 +722,32 @@ def block_denoiser(
     assert (N - NLIG) % 8 == 0 and ((N - NLIG) * K) % 8 == 0, (
         "ligand tail block must be sublane-aligned", N, NLIG, K
     )
+    train_mode = ew_in is not None
+    assert not (train_checkpoints and not train_mode), "checkpoints need ew_in"
+    L_ = num_layers
+    if ew_in is None:
+        ew_in = jnp.zeros((B, 1, K), jnp.float32)  # unused placeholder
+        ew_block = (1, 1, K)
+    else:
+        ew_block = (1, N, K)
     kern = functools.partial(
         _block_kernel, N=N, H=H, K=K, L=num_layers, n_heads=n_heads,
         coeff=coeff, dtype=dtype, TI=TI, TIR=TIR, NLIG=NLIG, ablate=ablate,
-        need_full_h=need_full_h,
+        need_full_h=need_full_h, train_mode=train_mode,
     )
 
     n_ew = len(EwParams._fields)
     n_bp = len(BlockParams._fields)
+    n_out = 4 if train_checkpoints else 2
 
     def wrapped(*refs):
-        regular = refs[:11]
-        ewp = EwParams(*refs[11 : 11 + n_ew])
-        bpp = BlockParams(*refs[11 + n_ew : 11 + n_ew + n_bp])
-        outs = refs[11 + n_ew + n_bp : 11 + n_ew + n_bp + 2]
-        scratch = refs[11 + n_ew + n_bp + 2 :]
+        regular = refs[:12]
+        ewp = EwParams(*refs[12 : 12 + n_ew])
+        bpp = BlockParams(*refs[12 + n_ew : 12 + n_ew + n_bp])
+        outs = list(refs[12 + n_ew + n_bp : 12 + n_ew + n_bp + n_out])
+        if n_out == 2:
+            outs += [None, None]
+        scratch = refs[12 + n_ew + n_bp + n_out :]
         kern(*regular, ewp, bpp, *outs, *scratch)
 
     # complex-independent constants, hoisted out of the kernel body: the
@@ -746,6 +779,9 @@ def block_denoiser(
             pl.BlockSpec((1, N, K), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, N, 1), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, R), lambda b: (0, 0)),
+            pl.BlockSpec(ew_block,
+                         (lambda b: (b, 0, 0)) if train_mode
+                         else (lambda b: (0, 0, 0))),  # ew_in (train mode)
             pl.BlockSpec((H, H), lambda b: (0, 0)),
             pl.BlockSpec((TI, TNK_), lambda b: (0, 0)),
             pl.BlockSpec((NLIG, LK_), lambda b: (0, 0)),
@@ -755,18 +791,30 @@ def block_denoiser(
         + [pl.BlockSpec(p.shape, lambda b: (0,) * p.ndim) for p in block_params]
     )
 
-    hout, xout = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, N, H), lambda b: (b, 0, 0)),
+        pl.BlockSpec((1, N, 3), lambda b: (b, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, N, H), h.dtype),
+        jax.ShapeDtypeStruct((B, N, 3), jnp.float32),
+    ]
+    if train_checkpoints:
+        out_specs += [
+            pl.BlockSpec((1, L_ + 1, N, H), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, L_ + 1, N, 3), lambda b: (b, 0, 0, 0)),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((B, L_ + 1, N, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, L_ + 1, N, 3), jnp.float32),
+        ]
+
+    outs = pl.pallas_call(
         wrapped,
         grid=(B,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, N, H), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, N, 3), lambda b: (b, 0, 0)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, N, H), h.dtype),
-            jax.ShapeDtypeStruct((B, N, 3), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((2, N, H), dtype),
             pltpu.VMEM((N, 3), jnp.float32),  # xfull: current positions
@@ -788,7 +836,10 @@ def block_denoiser(
         h, x.astype(jnp.float32), idx.astype(jnp.int32),
         nbr_mask.astype(jnp.float32),
         mask_ligand.astype(jnp.float32)[..., None], offsets.reshape(1, -1),
+        ew_in.astype(jnp.float32),
         s128, seg, segl, seglf,
         *ew_params, *block_params,
     )
-    return hout, xout
+    if train_checkpoints:
+        return outs  # (hout, xout, hck, xck)
+    return outs[0], outs[1]

@@ -472,11 +472,82 @@ def block_layers_trainable(h, x, idx, nbr_mask, etype, e_w, mask_ligand,
     return h, x
 
 
+def merge_stacks(spx: X2HParams, sph: H2XParams, dtype):
+    """[L, ...]-stacked X2H/H2X params -> the megakernel's merged
+    BlockParams layout (k|v merged on the output axis, edge rows reordered
+    [Wr|We], h2x value head lane-replicated) + dummy EwParams (the train
+    forward feeds e_w as an input). Mirrors
+    fast_forward.extract_block_params, but from stacks."""
+    from .block_denoiser import BlockParams, EwParams
+
+    f32 = jnp.float32
+    H = spx.hk_w1i.shape[-1]
+    rep = H // sph.xv_w2.shape[-1] if sph.xv_w2.shape[-1] != H else 1
+
+    def side(p, pre, rep_v=1):
+        g = lambda name: getattr(p, f"{pre}{name}")
+        w1er = jnp.concatenate(
+            [jnp.concatenate([g("k_w1r"), g("v_w1r")], -1),
+             jnp.concatenate([g("k_w1e"), g("v_w1e")], -1)], 1)
+        w1j = jnp.concatenate([g("k_w1j"), g("v_w1j")], -1)
+        w1iq = jnp.concatenate([g("k_w1i"), g("v_w1i"), g("q_w1")], -1)
+        b1q = jnp.concatenate([g("k_b1"), g("v_b1"), g("q_b1")], -1)
+        lns = jnp.concatenate([g("k_lns"), g("v_lns")], 1)
+        lnb = jnp.concatenate([g("k_lnb"), g("v_lnb")], 1)
+        w2v, b2v = g("v_w2"), g("v_b2")
+        if rep_v > 1:
+            w2v = jnp.repeat(w2v, rep_v, axis=2)
+            b2v = jnp.repeat(b2v, rep_v, axis=2)
+        return (
+            w1er.astype(dtype), w1j.astype(dtype), w1iq.astype(dtype),
+            b1q.astype(f32), lns.astype(f32), lnb.astype(f32),
+            g("k_w2").astype(dtype), g("k_b2").astype(f32),
+            w2v.astype(dtype), b2v.astype(f32),
+            g("q_lns").astype(f32), g("q_lnb").astype(f32),
+            g("q_w2").astype(dtype), g("q_b2").astype(f32),
+        )
+
+    bp = BlockParams(*side(spx, "h"), *side(sph, "x", rep_v=rep))
+    R = spx.hk_w1r.shape[1]
+    ew = EwParams(
+        w1=jnp.zeros((R, H), dtype), b1=jnp.zeros((1, H), f32),
+        lns=jnp.ones((1, H), f32), lnb=jnp.zeros((1, H), f32),
+        w2=jnp.zeros((H, H), dtype), b2=jnp.zeros((1, 1), f32),
+    )
+    return ew, bp
+
+
 def _block_fwd_rule(h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets,
                     spx_ph, n_heads, coeff, interpret, n_ligand,
                     dtype=jnp.float32):
     spx, sph = spx_ph[0], spx_ph[1]
     L = spx[0].shape[0]
+    B, N, H = h.shape
+    K = idx.shape[-1]
+    from .block_denoiser import block_denoiser, block_denoiser_fits
+
+    use_mega = (
+        n_ligand is not None and n_ligand <= 128
+        and (N - n_ligand) % 8 == 0
+        and block_denoiser_fits(N, K, H, n_ligand)
+    )
+    if use_mega:
+        # ONE whole-block forward kernel, emitting the per-layer h/x
+        # checkpoint stacks the fused backward consumes (geometry refresh,
+        # one-hot and lifts are built once per complex instead of per layer)
+        ewp, bp = merge_stacks(spx, sph, dtype)
+        hout, xout, hck, xck = block_denoiser(
+            h.astype(dtype) if dtype != jnp.float32 else h,
+            x, idx, nbr_mask, mask_ligand, offsets, ewp, bp,
+            num_layers=L, n_heads=n_heads, coeff=coeff,
+            dtype=jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32,
+            interpret=interpret, n_ligand=n_ligand,
+            ew_in=e_w, train_checkpoints=True,
+        )
+        res = (hck, xck, idx, nbr_mask, etype, e_w, mask_ligand, offsets,
+               spx, sph)
+        return (hout.astype(h.dtype), xout), res
+
     hs, xs = [h.astype(jnp.float32)], [x.astype(jnp.float32)]
     for l in range(L):
         pxl = X2HParams(*[a[l] for a in spx])

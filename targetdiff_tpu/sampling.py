@@ -258,9 +258,12 @@ def sample_testset_sharded(
     # (e.g. 576 -> TI=96). Bump in 64-row steps while that helps.
     from .ops.pallas.block_denoiser import pick_tile
 
-    while (NPpad + 64 <= max_protein
-           and pick_tile(NPpad + max_ligand) < 64
-           and pick_tile(NPpad + 64 + max_ligand) > pick_tile(NPpad + max_ligand)):
+    # Only a single +64 bump is taken: trading more padded rows for a wider
+    # tile is a measured-on-hardware question (tools/pocketbench.py compares
+    # N=544@TI32 vs N=672@TI96); a multi-step bump adds up to +28% gather
+    # FLOPs and is NOT known to win.
+    if (pick_tile(NPpad + max_ligand) < 64 and NPpad + 64 <= max_protein
+            and pick_tile(NPpad + 64 + max_ligand) >= 64):
         NPpad += 64
     bank_pos = np.zeros((P, NPpad, 3), np.float32)
     bank_feat = np.zeros((P, NPpad, fp), np.float32)

@@ -65,7 +65,7 @@ def main():
     ones = jnp.ones_like(jnp.asarray(flags))
     flags = jnp.asarray(flags)
 
-    def make(fl, nfh, rt=32):
+    def make(fl, nfh, rt=104):
         def run(hh):
             return block_denoiser(
                 hh, x, idx, nmask, mlig, offsets, ew_p, block_p,
@@ -76,10 +76,9 @@ def main():
 
     results = {}
     for name, fl, nfh, rt in (
-        ("all-dirty", ones, True, 32),
-        ("flags-rt32", flags, False, 32),
-        ("flags-rt104", None, False, 104),
-        ("flags-rt16", None, False, 16),
+        ("all-dirty", ones, True, 104),
+        ("flags", flags, False, 104),
+        ("flags-rt32", None, False, 32),
     ):
         if fl is None:  # flags sized for this rtile
             import jax.numpy as jnp2

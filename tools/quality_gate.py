@@ -71,7 +71,9 @@ def train(model, pool, steps, seed=1, log=print):
     )
     first = jax.tree_util.tree_map(lambda x: x[:BATCH], pool)
     state = create_train_state(model, opt, jax.random.PRNGKey(seed), first)
-    untrained = state.params
+    # the train step DONATES its state argument — keep an independent copy
+    # of the untrained params or they are deleted at the first step
+    untrained = jax.tree_util.tree_map(jnp.copy, state.params)
     impl = "fast" if jax.default_backend() in ("tpu", "axon") else "xla"
     step_fn = make_train_step(model, opt, pos_noise_std=0.1, impl=impl)
     key = jax.random.PRNGKey(seed + 1)

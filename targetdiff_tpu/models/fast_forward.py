@@ -429,7 +429,12 @@ def fast_forward(
         h = jnp.take_along_axis(h, inv[..., None], 1)
         x = jnp.take_along_axis(x, inv[..., None], 1)
 
-    final_ligand_h = h[:, NP:, :].astype(jnp.float32)
+    # Export contract: padded ligand rows are zeroed. The v9 lcache fold makes
+    # fully-masked rows emit a uniform attention average (not zeros), so the
+    # raw tail rows are impl-defined garbage; masking here keeps
+    # fetch_embedding output identical across impls.
+    lig_mask_f = node_mask[:, NP:].astype(jnp.float32)[..., None]
+    final_ligand_h = h[:, NP:, :].astype(jnp.float32) * lig_mask_f
     final_ligand_pos = x[:, NP:, :]
     y = final_ligand_h @ p["v_inference_0"]["kernel"] + p["v_inference_0"]["bias"]
     y = shifted_softplus(y)
@@ -557,7 +562,8 @@ def fast_train_forward(
                     cfg.n_heads, coeff, interpret, NL, dtype,
                 )
 
-    final_ligand_h = h[:, NP:, :]
+    # Export contract (matches fast_apply): padded ligand rows are zero.
+    final_ligand_h = h[:, NP:, :] * batch.ligand_mask.astype(h.dtype)[..., None]
     final_ligand_pos = x[:, NP:, :]
     y = final_ligand_h @ p["v_inference_0"]["kernel"] + p["v_inference_0"]["bias"]
     y = shifted_softplus(y)

@@ -170,7 +170,8 @@ class ScorePosNet(nn.Module):
 
         NP = protein_pos.shape[1]
         final_ligand_pos = final_pos[:, NP:, :]  # ligand occupies the tail slots
-        final_ligand_h = final_h[:, NP:, :]
+        # Export contract (matches fast_apply): padded ligand rows are zero.
+        final_ligand_h = final_h[:, NP:, :] * ligand_mask.astype(final_h.dtype)[..., None]
 
         v_inf_0 = TorchLinear(hidden_dim, dtype=self.dtype, name="v_inference_0")
         v_inf_2 = TorchLinear(num_classes, dtype=self.dtype, name="v_inference_2")

@@ -20,7 +20,7 @@ from targetdiff_tpu.trainer import create_train_state, make_train_step
 from targetdiff_tpu.utils.train import get_optimizer
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-impl = sys.argv[2] if len(sys.argv) > 2 else "xla"
+impls = (sys.argv[2] if len(sys.argv) > 2 else "xla").split(",")
 model, b = _flagship(num_timesteps=1000, max_protein=384, max_ligand=32, batch=B)
 rng = np.random.default_rng(0)
 pmask = np.zeros((B, 384), bool); pmask[:, :330] = True
@@ -28,18 +28,20 @@ lmask = np.arange(32)[None, :] < rng.integers(18, 33, size=(B,))[:, None]
 b = b._replace(protein_mask=jnp.asarray(pmask), ligand_mask=jnp.asarray(lmask))
 opt = get_optimizer(Config(dict(type="adam", lr=1e-3, weight_decay=0.0,
                                 beta1=0.95, beta2=0.999, max_grad_norm=8.0)))
-state = create_train_state(model, opt, jax.random.PRNGKey(0), b)
-step = make_train_step(model, opt, pos_noise_std=0.1, impl=impl)
-t0 = time.time()
-state, m = step(state, b, jax.random.PRNGKey(1))
-np.asarray(m["loss"])
-print(f"compile+first: {time.time()-t0:.1f}s  B={B} impl={impl}")
-times = []
-for r in range(3):
+for impl in impls:  # comma-separated impls duel in ONE process (chip drift)
+    # fresh state per impl: the jitted step donates its state buffers
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), b)
+    step = make_train_step(model, opt, pos_noise_std=0.1, impl=impl)
     t0 = time.time()
-    for i in range(10):
-        state, m = step(state, b, jax.random.fold_in(jax.random.PRNGKey(2), r * 10 + i))
-    np.asarray(m["loss"])  # one sync per round of 10 chained steps
-    times.append((time.time() - t0) / 10)
-print(f"train step B={B} impl={impl}: best {min(times)*1e3:.1f} ms  "
-      f"rounds={[f'{t*1e3:.1f}' for t in times]}  loss={float(m['loss']):.3f}")
+    state, m = step(state, b, jax.random.PRNGKey(1))
+    np.asarray(m["loss"])
+    print(f"compile+first: {time.time()-t0:.1f}s  B={B} impl={impl}")
+    times = []
+    for r in range(3):
+        t0 = time.time()
+        for i in range(10):
+            state, m = step(state, b, jax.random.fold_in(jax.random.PRNGKey(2), r * 10 + i))
+        np.asarray(m["loss"])  # one sync per round of 10 chained steps
+        times.append((time.time() - t0) / 10)
+    print(f"train step B={B} impl={impl}: best {min(times)*1e3:.1f} ms  "
+          f"rounds={[f'{t*1e3:.1f}' for t in times]}  loss={float(m['loss']):.3f}")

@@ -174,15 +174,22 @@ def train_profile(pool, n=256):
 
 
 # minimum margins the trained model must beat the untrained one by; plus
-# absolute floors pinned ~30% below the first measured trained run so a
-# silent equivariance/masking regression trips the gate
+# absolute floors pinned below the first measured trained run (2026-08-18:
+# mol_stable 0.51, atom_stable 0.97, recon 1.0, JSD 0.267 vs untrained
+# 0.0 / 0.24 / 0.97 / 0.392) so a silent equivariance/masking regression
+# trips the gate. NOTE the recon margin is CAPPED: the reconstructor is
+# deliberately robust to garbage geometry (untrained measured 0.97), so
+# "untrained + margin" can exceed the attainable 1.0 — the discriminating
+# recon signal is the absolute floor, not the margin.
 GATES = dict(
     mol_stable_margin=0.10,
     atom_stable_margin=0.15,
     recon_margin=0.15,
+    recon_margin_cap=0.95,
     jsd_improvement=0.05,
-    atom_stable_floor=0.55,
-    recon_floor=0.50,
+    mol_stable_floor=0.35,
+    atom_stable_floor=0.65,
+    recon_floor=0.90,
 )
 
 
@@ -211,9 +218,11 @@ def main():
     checks = {
         "mol_stable": ev_t["mol_stable"] >= ev_u["mol_stable"] + g["mol_stable_margin"],
         "atom_stable": ev_t["atom_stable"] >= ev_u["atom_stable"] + g["atom_stable_margin"],
-        "recon": ev_t["recon_success"] >= ev_u["recon_success"] + g["recon_margin"],
+        "recon": ev_t["recon_success"]
+        >= min(ev_u["recon_success"] + g["recon_margin"], g["recon_margin_cap"]),
         "jsd": (ev_u["pair_jsd_vs_train"] or 1) - (ev_t["pair_jsd_vs_train"] or 1)
         >= g["jsd_improvement"],
+        "mol_stable_floor": ev_t["mol_stable"] >= g["mol_stable_floor"],
         "atom_stable_floor": ev_t["atom_stable"] >= g["atom_stable_floor"],
         "recon_floor": ev_t["recon_success"] >= g["recon_floor"],
     }

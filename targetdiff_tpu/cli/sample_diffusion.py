@@ -79,6 +79,14 @@ def main(argv=None):
     )
     ap.add_argument("--chunk_rows", type=int, default=100,
                     help="max pocket x sample rows in flight (HBM bound)")
+    ap.add_argument(
+        "--sampler", default=None, choices=["ddpm", "ddim"],
+        help="override config.sample.sampler: ddpm = reference-exact "
+        "ancestral sampling; ddim = stride the full schedule over "
+        "config.sample.num_steps jumps (faster; no reference counterpart)",
+    )
+    ap.add_argument("--eta", type=float, default=None,
+                    help="ddim stochasticity (default 0 = deterministic positions)")
     args = ap.parse_args(argv)
 
     config = load_config(args.config)
@@ -117,6 +125,8 @@ def main(argv=None):
             impl=args.impl,
             ref_sizes=ref_sizes,
             rng=np.random.default_rng(config.sample.seed),
+            sampler=args.sampler or config.sample.get("sampler", "ddpm"),
+            eta=args.eta if args.eta is not None else config.sample.get("eta", 0.0),
         )
         elapsed = time.time() - t0
         for data_id, data, pocket, result in zip(ids, datas, pockets, results):
@@ -168,6 +178,8 @@ def main(argv=None):
             return_traj=False,
             impl=args.impl,
             rng=np.random.default_rng(config.sample.seed + data_id),
+            sampler=args.sampler or config.sample.get("sampler", "ddpm"),
+            eta=args.eta if args.eta is not None else config.sample.get("eta", 0.0),
         )
         out = {
             "data": {k: np.asarray(v) for k, v in pocket.items()}

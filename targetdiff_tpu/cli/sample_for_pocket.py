@@ -45,6 +45,13 @@ def main(argv=None):
     ap.add_argument("--pdb_path", required=True)
     ap.add_argument("--num_samples", type=int, default=10)
     ap.add_argument("--num_steps", type=int, default=None)
+    ap.add_argument(
+        "--sampler", default=None, choices=["ddpm", "ddim"],
+        help="ddim strides the full schedule over --num_steps jumps "
+        "(faster; no reference counterpart)",
+    )
+    ap.add_argument("--eta", type=float, default=None,
+                    help="ddim stochasticity (default 0)")
     ap.add_argument("--batch_size", type=int, default=100)
     ap.add_argument("--result_path", default="./outputs_pdb")
     ap.add_argument("--max_protein", type=int, default=640)
@@ -79,6 +86,8 @@ def main(argv=None):
         max_ligand=args.max_ligand,
         impl=args.impl,
         rng=np.random.default_rng(config.sample.seed),
+        sampler=args.sampler or config.sample.get("sampler", "ddpm"),
+        eta=args.eta if args.eta is not None else config.sample.get("eta", 0.0),
     )
 
     sdf_path = os.path.join(args.result_path, "samples.sdf")

@@ -139,6 +139,79 @@ def q_v_posterior(
     return unnormed - jax.nn.logsumexp(unnormed, axis=-1, keepdims=True)
 
 
+def q_v_pred_strided(
+    sched: CategoricalSchedule,
+    log_vt: jnp.ndarray,
+    t: jnp.ndarray,
+    s: jnp.ndarray,
+    num_classes: int,
+) -> jnp.ndarray:
+    """log q(v_t | v_s) for an arbitrary jump s < t under the uniform-mixture
+    kernel: alpha_{t|s} = bar(alpha)_t / bar(alpha)_s, the multi-step
+    generalization of q_v_pred_one_timestep (D3PM, Austin et al. 2021).
+    No reference counterpart — the reference only steps t -> t-1."""
+    log_a_ts = extract(sched.log_alphas_cumprod, t, log_vt.ndim) - extract(
+        sched.log_alphas_cumprod, jnp.maximum(s, 0), log_vt.ndim
+    )
+    # log(1 - a_ts) via -expm1: stable as log_a_ts -> 0- (log1p(-exp(x))
+    # collapses to log(eps) once exp(x) rounds to 1 in f32)
+    log_1_min_a_ts = jnp.log(-jnp.expm1(log_a_ts) + LOG_EPS)
+    return log_add_exp(log_vt + log_a_ts, log_1_min_a_ts - np.log(num_classes))
+
+
+def q_v_posterior_strided(
+    sched: CategoricalSchedule,
+    log_v0: jnp.ndarray,
+    log_vt: jnp.ndarray,
+    t: jnp.ndarray,
+    s: jnp.ndarray,
+    num_classes: int,
+) -> jnp.ndarray:
+    """log q(v_s | v_t, v_0) for an arbitrary jump s < t: proportional to
+    q(v_t | v_s) q(v_s | v_0). With s = t-1 this equals q_v_posterior
+    exactly (tested). For s < 0 callers should use the recon distribution
+    log_v0 directly (the x0-projection convention, as in DDIM's final step)."""
+    log_qvs_v0 = q_v_pred(sched, log_v0, jnp.maximum(s, 0), num_classes)
+    unnormed = log_qvs_v0 + q_v_pred_strided(sched, log_vt, t, s, num_classes)
+    return unnormed - jax.nn.logsumexp(unnormed, axis=-1, keepdims=True)
+
+
+def ddim_pos_coefficients(
+    betas: np.ndarray, time_seq: np.ndarray, s_seq: np.ndarray, eta: float = 0.0
+):
+    """HOST-side (f64) DDIM coefficient tables for the jump sequence
+    t=time_seq[i] -> s=s_seq[i] (Song et al. 2021):
+
+        x_s = sqrt(abar_s) x0 + sqrt(1 - abar_s - sigma^2) eps_hat + sigma xi
+        sigma = eta sqrt((1-abar_s)/(1-abar_t)) sqrt(1 - abar_t/abar_s)
+
+    rewritten as x_s = c_x0 * x0 + c_xt * x_t + sigma * xi (eps_hat
+    eliminated). Computed in float64 from the beta schedule because
+    1 - abar_t/abar_s underflows f32 when beta_t ~ 1e-7 (sigmoid schedule
+    start) — on-device f32 recomputation was measurably wrong at early t.
+    s < 0 encodes the final jump to the clean sample (c_x0=1, c_xt=sigma=0).
+    With s = t-1, eta = 1 this reproduces the DDPM posterior (tested).
+    No reference counterpart — the reference samples only full-schedule DDPM
+    (molopt_score_model.py:633-703). Returns f32 arrays (c_x0, c_xt, sigma)
+    of time_seq's length."""
+    betas64 = np.asarray(betas, np.float64)
+    acp = np.cumprod(1.0 - betas64)
+    t = np.asarray(time_seq, np.int64)
+    s = np.asarray(s_seq, np.int64)
+    abar_t = acp[t]
+    abar_s = np.where(s >= 0, acp[np.maximum(s, 0)], 1.0)
+    sigma = eta * np.sqrt(
+        np.clip((1.0 - abar_s) / np.clip(1.0 - abar_t, 1e-300, None), 0.0, None)
+        * np.clip(1.0 - abar_t / abar_s, 0.0, None)
+    )
+    dir_coef = np.sqrt(np.clip(1.0 - abar_s - sigma**2, 0.0, None))
+    denom = np.sqrt(np.clip(1.0 - abar_t, 1e-300, None))
+    c_xt = dir_coef / denom
+    c_x0 = np.sqrt(abar_s) - c_xt * np.sqrt(abar_t)
+    f = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+    return f(c_x0), f(c_xt), f(sigma)
+
+
 def kl_v_prior(
     sched: CategoricalSchedule, log_v0: jnp.ndarray, mask: jnp.ndarray, num_classes: int
 ) -> jnp.ndarray:

@@ -91,10 +91,14 @@ def sample_diffusion_ligand(
     traj_stride: int = 1,
     rng: Optional[np.random.Generator] = None,
     impl: str = "auto",
+    sampler: str = "ddpm",
+    eta: float = 0.0,
 ) -> Dict[str, Any]:
     """Generate `num_samples` molecules for one pocket. Returns numpy results
     un-padded per sample, mirroring the reference's output lists
-    (reference: scripts/sample_diffusion.py:87-116)."""
+    (reference: scripts/sample_diffusion.py:87-116). `sampler='ddim'`
+    strides the full schedule over `num_steps` jumps (score_model.py
+    sample_diffusion) — no reference counterpart."""
     from .models.fast_forward import resolve_impl
 
     max_protein = max_protein or model.max_protein
@@ -118,13 +122,14 @@ def sample_diffusion_ligand(
     all_v_traj: List[np.ndarray] = []
     time_list: List[float] = []
 
-    def sampler(p, k, b, ip, iv):
+    def run_sampler(p, k, b, ip, iv):
         # no outer jit: sample_diffusion chunk-jits its scan internally so a
         # single device execution stays below remote-RPC watchdog limits
         return model.sample_diffusion(
             p, k, b, ip, iv,
             num_steps=num_steps, center_pos_mode=center_pos_mode,
             pos_only=pos_only, return_traj=return_traj, impl=impl,
+            sampler=sampler, eta=eta,
         )
 
     done = 0
@@ -164,7 +169,7 @@ def sample_diffusion_ligand(
         init_pos, init_v = init_ligand_state(k_init, batch, model.num_classes, pos_only)
 
         t1 = time.time()
-        res = sampler(params, k_samp, batch, init_pos, init_v)
+        res = run_sampler(params, k_samp, batch, init_pos, init_v)
         # np.asarray is the reliable device sync on remote-attached TPUs
         # (block_until_ready can return before remote compute finishes)
         pos_np = np.asarray(res.pos, np.float64)
@@ -207,6 +212,8 @@ def sample_testset_sharded(
     chunk_rows: Optional[int] = None,
     impl: str = "auto",
     ref_sizes: Optional[List[int]] = None,
+    sampler: str = "ddpm",
+    eta: float = 0.0,
 ) -> List[Dict[str, Any]]:
     """Multi-pocket sampling with rows sharded over the mesh "dp" axis — the
     mesh-native replacement for the reference's shell-script GPU sharding
@@ -316,7 +323,7 @@ def sample_testset_sharded(
         t1 = time.time()
         res = model.sample_diffusion(
             params, k_samp, batch, init_pos, init_v, num_steps=num_steps,
-            impl=impl,
+            impl=impl, sampler=sampler, eta=eta,
         )
         # np.asarray is the reliable device sync on remote-attached TPUs
         pos_np = np.asarray(res.pos, np.float64)

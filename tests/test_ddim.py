@@ -1,0 +1,157 @@
+"""Strided (DDIM-style) sampler tests: the math reduces exactly to the
+reference's ancestral DDPM when the stride is 1, and the end-to-end strided
+path is finite, masked, and deterministic-in-positions at eta=0.
+
+The reference has no counterpart (its num_steps < T merely TRUNCATES the
+schedule, molopt_score_model.py:649); striding is a capability upgrade.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from targetdiff_tpu.models.score_model import DiffusionModel
+from targetdiff_tpu.ops import diffusion as D
+from targetdiff_tpu.ops.schedules import make_categorical_schedule, make_gaussian_schedule
+from tests.test_model import NUM_CLASSES, PROTEIN_DIM, model_config, random_batch
+
+
+def test_strided_v_posterior_matches_single_step():
+    """q_v_posterior_strided(s=t-1) == q_v_posterior exactly."""
+    sched = make_categorical_schedule(
+        v_beta_schedule="cosine", num_diffusion_timesteps=50, v_beta_s=0.01
+    )
+    K = 7
+    key = jax.random.PRNGKey(0)
+    log_v0 = jax.nn.log_softmax(jax.random.normal(key, (3, 5, K)), -1)
+    log_vt = D.index_to_log_onehot(
+        jax.random.randint(jax.random.PRNGKey(1), (3, 5), 0, K), K
+    )
+    for tv in (1, 7, 49):
+        t = jnp.full((3,), tv, jnp.int32)
+        a = D.q_v_posterior(sched, log_v0, log_vt, t, K)
+        b = D.q_v_posterior_strided(sched, log_v0, log_vt, t, t - 1, K)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_ddim_eta1_stride1_matches_ddpm_posterior():
+    """ddim_pos_coefficients(s=t-1, eta=1) reproduces the DDPM posterior
+    mean coefficients and the posterior std (Song et al. 2021 eq. 16
+    identity), including at early t where beta ~ 1e-7 (the f32
+    cancellation zone that forced the host-side f64 table design)."""
+    sched = make_gaussian_schedule(
+        beta_schedule="sigmoid", num_diffusion_timesteps=50,
+        beta_start=1e-7, beta_end=2e-3,
+    )
+    betas = np.asarray(sched.betas)
+    time_seq = np.array([1, 10, 49])
+    cx0, cxt, sig = D.ddim_pos_coefficients(betas, time_seq, time_seq - 1, eta=1.0)
+    for i, tv in enumerate(time_seq):
+        t = jnp.full((1,), tv, jnp.int32)
+        ref_c0 = float(sched.posterior_mean_c0_coef[tv])
+        ref_ct = float(sched.posterior_mean_ct_coef[tv])
+        ref_std = float(jnp.exp(0.5 * sched.posterior_logvar[tv]))
+        np.testing.assert_allclose(float(cx0[i]), ref_c0, rtol=1e-4)
+        np.testing.assert_allclose(float(cxt[i]), ref_ct, rtol=1e-4)
+        np.testing.assert_allclose(float(sig[i]), ref_std, rtol=1e-4)
+        del t
+
+
+def test_ddim_final_jump_is_clean_projection():
+    """s < 0 jumps straight to the predicted x0 with zero noise."""
+    sched = make_gaussian_schedule(
+        beta_schedule="sigmoid", num_diffusion_timesteps=50,
+        beta_start=1e-7, beta_end=2e-3,
+    )
+    cx0, cxt, sig = D.ddim_pos_coefficients(
+        np.asarray(sched.betas), np.array([5]), np.array([-1]), eta=1.0
+    )
+    np.testing.assert_allclose(float(cx0[0]), 1.0, atol=1e-7)
+    assert float(cxt[0]) == 0.0 and float(sig[0]) == 0.0
+
+
+def test_ddim_sampling_end_to_end():
+    cfg = model_config()
+    model = DiffusionModel(cfg, PROTEIN_DIM, NUM_CLASSES, max_protein=16, max_ligand=6)
+    batch = random_batch()
+    params = model.init(jax.random.PRNGKey(0), batch)
+    init_pos = jax.random.normal(jax.random.PRNGKey(1), batch.ligand_pos.shape)
+    init_v = jnp.zeros(batch.ligand_v.shape, jnp.int32)
+    res = model.sample_diffusion(
+        params, jax.random.PRNGKey(2), batch, init_pos, init_v,
+        num_steps=5, sampler="ddim",
+    )
+    pos = np.asarray(res.pos)
+    assert np.isfinite(pos).all()
+    # padded ligand rows stay zeroed... up to the +offset re-add; check via mask
+    v = np.asarray(res.v)
+    assert v.shape == batch.ligand_v.shape and (v >= 0).all() and (v < NUM_CLASSES).all()
+
+
+def test_ddim_eta0_positions_deterministic():
+    """At eta=0 the position path is noise-free: different sampling keys give
+    different atom types (categorical stays stochastic) but positions must
+    agree when the type trajectories agree — so run pos_only."""
+    cfg = model_config()
+    model = DiffusionModel(cfg, PROTEIN_DIM, NUM_CLASSES, max_protein=16, max_ligand=6)
+    batch = random_batch()
+    params = model.init(jax.random.PRNGKey(0), batch)
+    init_pos = jax.random.normal(jax.random.PRNGKey(1), batch.ligand_pos.shape)
+    a = model.sample_diffusion(
+        params, jax.random.PRNGKey(7), batch, init_pos, batch.ligand_v,
+        num_steps=5, sampler="ddim", eta=0.0, pos_only=True,
+    )
+    b = model.sample_diffusion(
+        params, jax.random.PRNGKey(8), batch, init_pos, batch.ligand_v,
+        num_steps=5, sampler="ddim", eta=0.0, pos_only=True,
+    )
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-6)
+
+
+def test_ddim_sharded_testset_path():
+    """sampler='ddim' flows through the mesh-sharded multi-pocket path."""
+    from targetdiff_tpu.parallel.mesh import make_mesh
+    from targetdiff_tpu.sampling import sample_testset_sharded
+    from targetdiff_tpu.data.batch import pad_complex
+
+    assert len(jax.devices()) == 8
+    cfg = model_config(num_diffusion_timesteps=16)
+    model = DiffusionModel(cfg, 27, 13, max_protein=32, max_ligand=8)
+    dummy = pad_complex(
+        np.zeros((8, 3), np.float32), np.zeros((8, 27), np.float32),
+        np.zeros((2, 3), np.float32), np.zeros((2,), np.int32), 8, 8,
+    )
+    params = model.init(jax.random.PRNGKey(0), dummy)
+    rng = np.random.default_rng(0)
+    pockets = [
+        {"protein_pos": rng.normal(size=(20, 3)).astype(np.float32) * 5,
+         "protein_feat": (rng.random((20, 27)) > 0.7).astype(np.float32)}
+        for _ in range(2)
+    ]
+    results = sample_testset_sharded(
+        model, params, pockets, num_samples_per_pocket=4,
+        key=jax.random.PRNGKey(1), mesh=make_mesh(n_dp=8, n_mp=1),
+        num_steps=4, sampler="ddim",  # 4 strided jumps over the 16 steps
+        max_protein=32, max_ligand=8,
+    )
+    assert len(results) == 2
+    for r in results:
+        for pos in r["pos"]:
+            assert np.isfinite(np.asarray(pos)).all()
+
+
+def test_ddpm_path_unchanged_by_ts_pair_refactor():
+    """The (t, s) scan refactor must leave the default DDPM path identical:
+    two calls with the same key agree, and sampler='ddpm' is the default."""
+    cfg = model_config()
+    model = DiffusionModel(cfg, PROTEIN_DIM, NUM_CLASSES, max_protein=16, max_ligand=6)
+    batch = random_batch()
+    params = model.init(jax.random.PRNGKey(0), batch)
+    init_pos = jax.random.normal(jax.random.PRNGKey(1), batch.ligand_pos.shape)
+    init_v = jnp.zeros(batch.ligand_v.shape, jnp.int32)
+    a = model.sample_diffusion(params, jax.random.PRNGKey(2), batch, init_pos,
+                               init_v, num_steps=4)
+    b = model.sample_diffusion(params, jax.random.PRNGKey(2), batch, init_pos,
+                               init_v, num_steps=4, sampler="ddpm")
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a.v), np.asarray(b.v))

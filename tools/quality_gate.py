@@ -92,7 +92,8 @@ def train(model, pool, steps, seed=1, log=print):
     return untrained, state.params, loss_hist
 
 
-def sample(model, params, pool, n_mols, seed=3, num_steps=1000):
+def sample(model, params, pool, n_mols, seed=3, num_steps=1000,
+           sampler="ddpm", eta=0.0):
     """Sample n_mols ligands across synthetic pockets with the fast impl."""
     import jax
     import jax.numpy as jnp
@@ -106,7 +107,7 @@ def sample(model, params, pool, n_mols, seed=3, num_steps=1000):
     init_pos, init_v = init_ligand_state(key, batch, model.num_classes)
     res = model.sample_diffusion(
         params, key, batch, init_pos, init_v, num_steps=num_steps, impl=impl,
-        scan_chunk=100,
+        scan_chunk=100, sampler=sampler, eta=eta,
     )
     pos = np.asarray(res.pos)
     v = np.asarray(res.v)

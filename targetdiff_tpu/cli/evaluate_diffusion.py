@@ -28,7 +28,11 @@ from ..utils.misc import get_logger
 
 
 def evaluate_results(result_files, atom_mode, docking_mode="none",
-                     protein_root=None, exhaustiveness=16, logger=None):
+                     protein_root=None, exhaustiveness=16, logger=None,
+                     eval_step=-1):
+    """`eval_step` indexes the saved trajectory (reference:
+    evaluate_diffusion.py:76); -1 (final step) also works on results saved
+    without --save_traj. Any other value requires trajectories."""
     log = logger or get_logger("eval")
     n_samples = 0
     n_stable = 0
@@ -41,7 +45,17 @@ def evaluate_results(result_files, atom_mode, docking_mode="none",
     for fpath in result_files:
         with open(fpath, "rb") as f:
             res = pickle.load(f)
-        for pos, v in zip(res["pred_ligand_pos"], res["pred_ligand_v"]):
+        if eval_step == -1 or "pred_ligand_pos_traj" not in res:
+            if eval_step != -1:
+                raise SystemExit(
+                    f"--eval_step {eval_step} needs trajectories; {fpath} was "
+                    "sampled without --save_traj"
+                )
+            pos_list, v_list = res["pred_ligand_pos"], res["pred_ligand_v"]
+        else:
+            pos_list = [t[eval_step] for t in res["pred_ligand_pos_traj"]]
+            v_list = [t[eval_step] for t in res["pred_ligand_v_traj"]]
+        for pos, v in zip(pos_list, v_list):
             n_samples += 1
             atom_nums = get_atomic_number_from_index(v, atom_mode)
             aromatic = is_aromatic_from_index(v, atom_mode)
@@ -154,6 +168,15 @@ def main(argv=None):
     ap.add_argument("--protein_root", default="./data/test_set")
     ap.add_argument("--atom_mode", default=None,
                     help="override ligand atom mode (else read from results)")
+    ap.add_argument("--eval_num_examples", type=int, default=None,
+                    help="evaluate only the first N result files "
+                    "(reference: evaluate_diffusion.py:40)")
+    ap.add_argument("--eval_step", type=int, default=-1,
+                    help="trajectory step to evaluate (needs --save_traj "
+                    "results unless -1; reference: evaluate_diffusion.py:39)")
+    ap.add_argument("--exhaustiveness", type=int, default=16,
+                    help="vina search exhaustiveness "
+                    "(reference: evaluate_diffusion.py:45)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -161,12 +184,16 @@ def main(argv=None):
     files = sorted(glob.glob(os.path.join(args.sample_path, "result_*.pkl")))
     if not files:
         raise SystemExit(f"no result_*.pkl under {args.sample_path}")
+    if args.eval_num_examples is not None:
+        files = files[: args.eval_num_examples]
     with open(files[0], "rb") as f:
         first = pickle.load(f)
     atom_mode = args.atom_mode or first.get("ligand_atom_mode", "add_aromatic")
 
     summary, results = evaluate_results(
-        files, atom_mode, args.docking_mode, args.protein_root, logger=logger
+        files, atom_mode, args.docking_mode, args.protein_root,
+        exhaustiveness=args.exhaustiveness, logger=logger,
+        eval_step=args.eval_step,
     )
     for k, v in summary.items():
         logger.info(f"{k}: {v}")

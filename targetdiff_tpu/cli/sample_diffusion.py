@@ -85,6 +85,13 @@ def main(argv=None):
         "ancestral sampling; ddim = stride the full schedule over "
         "config.sample.num_steps jumps (faster; no reference counterpart)",
     )
+    ap.add_argument("--ddim_spacing", default=None, choices=["uniform", "quadratic"],
+                    help="ddim timestep spacing (quadratic = denser at low t)")
+    ap.add_argument("--save_traj", type=int, default=0, metavar="STRIDE",
+                    help="save pred_ligand_{pos,v}_traj at this step stride "
+                    "(reference saves the full trajectory unconditionally, "
+                    "sample_diffusion.py:179; opt-in here for disk reasons). "
+                    "Not supported with --sharded.")
     ap.add_argument("--eta", type=float, default=None,
                     help="ddim stochasticity (default 0 = deterministic positions)")
     args = ap.parse_args(argv)
@@ -103,6 +110,9 @@ def main(argv=None):
     test_set = subsets["test"]
     ids = range(len(test_set)) if args.all else [args.data_id]
 
+    if args.sharded and args.save_traj:
+        raise SystemExit("--save_traj is not supported with --sharded "
+                         "(trajectories for 10k rows exceed HBM); drop one")
     if args.sharded:
         from ..sampling import sample_testset_sharded
 
@@ -127,6 +137,7 @@ def main(argv=None):
             rng=np.random.default_rng(config.sample.seed),
             sampler=args.sampler or config.sample.get("sampler", "ddpm"),
             eta=args.eta if args.eta is not None else config.sample.get("eta", 0.0),
+            ddim_spacing=args.ddim_spacing or config.sample.get("ddim_spacing", "uniform"),
         )
         elapsed = time.time() - t0
         for data_id, data, pocket, result in zip(ids, datas, pockets, results):
@@ -175,11 +186,13 @@ def main(argv=None):
             ref_ligand=ref_ligand,
             max_protein=args.max_protein,
             max_ligand=args.max_ligand,
-            return_traj=False,
+            return_traj=bool(args.save_traj),
+            traj_stride=max(args.save_traj, 1),
             impl=args.impl,
             rng=np.random.default_rng(config.sample.seed + data_id),
             sampler=args.sampler or config.sample.get("sampler", "ddpm"),
             eta=args.eta if args.eta is not None else config.sample.get("eta", 0.0),
+            ddim_spacing=args.ddim_spacing or config.sample.get("ddim_spacing", "uniform"),
         )
         out = {
             "data": {k: np.asarray(v) for k, v in pocket.items()}
@@ -192,6 +205,10 @@ def main(argv=None):
             "time": result["time"],
             "ligand_atom_mode": train_config.data.transform.ligand_atom_mode,
         }
+        if args.save_traj:
+            out["pred_ligand_pos_traj"] = result["pos_traj"]
+            out["pred_ligand_v_traj"] = result["v_traj"]
+            out["traj_stride"] = args.save_traj
         out_path = os.path.join(args.result_path, f"result_{data_id}.pkl")
         with open(out_path, "wb") as f:
             pickle.dump(out, f)

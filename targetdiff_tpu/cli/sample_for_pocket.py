@@ -50,6 +50,8 @@ def main(argv=None):
         help="ddim strides the full schedule over --num_steps jumps "
         "(faster; no reference counterpart)",
     )
+    ap.add_argument("--ddim_spacing", default=None, choices=["uniform", "quadratic"],
+                    help="ddim timestep spacing (quadratic = denser at low t)")
     ap.add_argument("--eta", type=float, default=None,
                     help="ddim stochasticity (default 0)")
     ap.add_argument("--batch_size", type=int, default=100)
@@ -88,6 +90,7 @@ def main(argv=None):
         rng=np.random.default_rng(config.sample.seed),
         sampler=args.sampler or config.sample.get("sampler", "ddpm"),
         eta=args.eta if args.eta is not None else config.sample.get("eta", 0.0),
+        ddim_spacing=args.ddim_spacing or config.sample.get("ddim_spacing", "uniform"),
     )
 
     sdf_path = os.path.join(args.result_path, "samples.sdf")

@@ -567,6 +567,7 @@ class DiffusionModel:
         scan_chunk: Optional[int] = 100,
         sampler: str = "ddpm",  # 'ddpm' | 'ddim' (strided, arbitrary jumps)
         eta: float = 0.0,  # ddim stochasticity (0 = deterministic positions)
+        ddim_spacing: str = "uniform",  # 'uniform' | 'quadratic' (denser at low t)
     ) -> SampleResult:
         """Full reverse DDPM as on-device `lax.scan`
         (reference: models/molopt_score_model.py:633-703, which loops in
@@ -597,11 +598,18 @@ class DiffusionModel:
         cbatch = batch._replace(protein_pos=protein_pos)
 
         if sampler == "ddim":
-            # evenly-spaced subsequence of the full schedule, descending;
-            # each step jumps t -> s (the next entry; final jump s = -1)
-            time_seq = np.unique(
-                np.linspace(0, self.num_timesteps - 1, num_steps).round().astype(np.int64)
-            )[::-1].copy()
+            # subsequence of the full schedule, descending; each step jumps
+            # t -> s (the next entry; final jump s = -1). 'quadratic'
+            # spacing spends more of the NFE budget at low t, where the
+            # fine geometry (bond lengths -> stability) is decided.
+            if ddim_spacing == "quadratic":
+                frac = np.linspace(0.0, 1.0, num_steps) ** 2
+                grid = frac * (self.num_timesteps - 1)
+            elif ddim_spacing == "uniform":
+                grid = np.linspace(0, self.num_timesteps - 1, num_steps)
+            else:
+                raise ValueError(f"unknown ddim_spacing {ddim_spacing!r}")
+            time_seq = np.unique(grid.round().astype(np.int64))[::-1].copy()
             s_seq = np.append(time_seq[1:], -1)
         elif sampler == "ddpm":
             time_seq = np.arange(self.num_timesteps - num_steps, self.num_timesteps)[::-1].copy()

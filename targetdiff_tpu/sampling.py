@@ -93,6 +93,7 @@ def sample_diffusion_ligand(
     impl: str = "auto",
     sampler: str = "ddpm",
     eta: float = 0.0,
+    ddim_spacing: str = "uniform",
 ) -> Dict[str, Any]:
     """Generate `num_samples` molecules for one pocket. Returns numpy results
     un-padded per sample, mirroring the reference's output lists
@@ -129,7 +130,7 @@ def sample_diffusion_ligand(
             p, k, b, ip, iv,
             num_steps=num_steps, center_pos_mode=center_pos_mode,
             pos_only=pos_only, return_traj=return_traj, impl=impl,
-            sampler=sampler, eta=eta,
+            sampler=sampler, eta=eta, ddim_spacing=ddim_spacing,
         )
 
     done = 0
@@ -214,6 +215,7 @@ def sample_testset_sharded(
     ref_sizes: Optional[List[int]] = None,
     sampler: str = "ddpm",
     eta: float = 0.0,
+    ddim_spacing: str = "uniform",
 ) -> List[Dict[str, Any]]:
     """Multi-pocket sampling with rows sharded over the mesh "dp" axis — the
     mesh-native replacement for the reference's shell-script GPU sharding
@@ -323,7 +325,7 @@ def sample_testset_sharded(
         t1 = time.time()
         res = model.sample_diffusion(
             params, k_samp, batch, init_pos, init_v, num_steps=num_steps,
-            impl=impl, sampler=sampler, eta=eta,
+            impl=impl, sampler=sampler, eta=eta, ddim_spacing=ddim_spacing,
         )
         # np.asarray is the reliable device sync on remote-attached TPUs
         pos_np = np.asarray(res.pos, np.float64)

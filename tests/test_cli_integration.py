@@ -88,7 +88,7 @@ def test_train_then_sample_cli(mini_dataset, tmp_path):
 
     outdir = str(tmp_path / "outputs")
     sample_diffusion.main([scfg_path, "-i", "0", "--result_path", outdir,
-                           "--batch_size", "3",
+                           "--batch_size", "3", "--save_traj", "2",
                            "--max_protein", "640", "--max_ligand", "40"])
     results = glob.glob(os.path.join(outdir, "result_*.pkl"))
     assert results
@@ -97,6 +97,10 @@ def test_train_then_sample_cli(mini_dataset, tmp_path):
     assert len(res["pred_ligand_pos"]) == 3
     for pos, v in zip(res["pred_ligand_pos"], res["pred_ligand_v"]):
         assert np.isfinite(pos).all() and len(pos) == len(v)
+    # --save_traj 2: trajectory at stride 2, [steps, atoms, 3] per sample
+    assert len(res["pred_ligand_pos_traj"]) == 3
+    assert res["pred_ligand_pos_traj"][0].ndim == 3
+    assert res["pred_ligand_pos_traj"][0].shape[1:] == res["pred_ligand_pos"][0].shape
 
     # evaluate the results through the evaluation CLI machinery
     from targetdiff_tpu.cli.evaluate_diffusion import evaluate_results
@@ -104,6 +108,9 @@ def test_train_then_sample_cli(mini_dataset, tmp_path):
     summary, _ = evaluate_results(results, "add_aromatic")
     assert 0 <= summary["validity"]["mol_stable"] <= 1
     assert summary["atom_type_jsd"] is not None
+    # reference's --eval_step: evaluate an intermediate trajectory step
+    s_mid, _ = evaluate_results(results, "add_aromatic", eval_step=0)
+    assert 0 <= s_mid["validity"]["atm_stable"] <= 1
 
     # likelihood + embedding export from the same checkpoint
     from targetdiff_tpu.cli import likelihood_est_diffusion

@@ -108,6 +108,29 @@ def test_ddim_eta0_positions_deterministic():
     np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-6)
 
 
+def test_ddim_quadratic_spacing():
+    """quadratic spacing produces a valid strictly-descending (t, s) chain
+    that is denser at low t, and samples end-to-end."""
+    cfg = model_config(num_diffusion_timesteps=100)
+    model = DiffusionModel(cfg, PROTEIN_DIM, NUM_CLASSES, max_protein=16, max_ligand=6)
+    # spacing property check on the host-side grid
+    num_steps = 10
+    frac = np.linspace(0.0, 1.0, num_steps) ** 2
+    grid = np.unique((frac * 99).round().astype(np.int64))
+    assert grid[0] == 0 and grid[-1] == 99
+    low = (grid < 50).sum()
+    assert low > len(grid) // 2  # denser at low t than at high t
+    batch = random_batch()
+    params = model.init(jax.random.PRNGKey(0), batch)
+    init_pos = jax.random.normal(jax.random.PRNGKey(1), batch.ligand_pos.shape)
+    init_v = jnp.zeros(batch.ligand_v.shape, jnp.int32)
+    res = model.sample_diffusion(
+        params, jax.random.PRNGKey(2), batch, init_pos, init_v,
+        num_steps=num_steps, sampler="ddim", ddim_spacing="quadratic",
+    )
+    assert np.isfinite(np.asarray(res.pos)).all()
+
+
 def test_ddim_sharded_testset_path():
     """sampler='ddim' flows through the mesh-sharded multi-pocket path."""
     from targetdiff_tpu.parallel.mesh import make_mesh

@@ -42,3 +42,41 @@ def test_evaluate_results_on_real_ligand(tmp_path):
     # a real drug's geometry should sit close to the empirical distributions
     assert all(v < 0.9 for v in jsds.values())
     assert 5 in summary["ring_size_ratio"] or 6 in summary["ring_size_ratio"]
+
+
+def test_evaluate_results_eval_step_on_traj(tmp_path):
+    """--eval_step reads from saved trajectories (reference
+    evaluate_diffusion.py:76); a non-final step on garbage early geometry
+    scores worse than the final one, and eval_step without traj fails."""
+    import pytest
+
+    mol = remove_hydrogens(read_sdf(LIGAND))
+    pos = mol.positions()
+    v = np.array(
+        [MAP_ATOM_TYPE_AROMATIC_TO_INDEX[(a.z, a.aromatic)] for a in mol.atoms],
+        np.int64,
+    )
+    rng = np.random.default_rng(0)
+    noisy = pos + rng.normal(size=pos.shape) * 3.0  # "early-step" geometry
+    res = {
+        "pred_ligand_pos": [pos],
+        "pred_ligand_v": [v],
+        "pred_ligand_pos_traj": [np.stack([noisy, pos])],
+        "pred_ligand_v_traj": [np.stack([v, v])],
+        "data": {"ligand_filename": "x/y.sdf"},
+        "ligand_atom_mode": "add_aromatic",
+    }
+    fp = str(tmp_path / "result_0.pkl")
+    with open(fp, "wb") as f:
+        pickle.dump(res, f)
+
+    s_final, _ = evaluate_results([fp], "add_aromatic", eval_step=-1)
+    s_early, _ = evaluate_results([fp], "add_aromatic", eval_step=0)
+    assert s_final["validity"]["atm_stable"] > s_early["validity"]["atm_stable"]
+
+    res2 = {k: val for k, val in res.items() if "traj" not in k}
+    fp2 = str(tmp_path / "result_1.pkl")
+    with open(fp2, "wb") as f:
+        pickle.dump(res2, f)
+    with pytest.raises(SystemExit):
+        evaluate_results([fp2], "add_aromatic", eval_step=0)

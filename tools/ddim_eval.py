@@ -48,6 +48,12 @@ def main():
         ("ddpm-100-trunc", dict(num_steps=100, sampler="ddpm")),
         ("ddim-100", dict(num_steps=100, sampler="ddim", eta=0.0)),
         ("ddim-50", dict(num_steps=50, sampler="ddim", eta=0.0)),
+        ("ddim-100-quad", dict(num_steps=100, sampler="ddim", eta=0.0,
+                               ddim_spacing="quadratic")),
+        ("ddim-50-quad", dict(num_steps=50, sampler="ddim", eta=0.0,
+                              ddim_spacing="quadratic")),
+        ("ddim-100-quad-eta1", dict(num_steps=100, sampler="ddim", eta=1.0,
+                                    ddim_spacing="quadratic")),
     ]
     report = {}
     for name, kw in configs:

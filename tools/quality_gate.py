@@ -93,7 +93,7 @@ def train(model, pool, steps, seed=1, log=print):
 
 
 def sample(model, params, pool, n_mols, seed=3, num_steps=1000,
-           sampler="ddpm", eta=0.0):
+           sampler="ddpm", eta=0.0, ddim_spacing="uniform"):
     """Sample n_mols ligands across synthetic pockets with the fast impl."""
     import jax
     import jax.numpy as jnp
@@ -107,7 +107,7 @@ def sample(model, params, pool, n_mols, seed=3, num_steps=1000,
     init_pos, init_v = init_ligand_state(key, batch, model.num_classes)
     res = model.sample_diffusion(
         params, key, batch, init_pos, init_v, num_steps=num_steps, impl=impl,
-        scan_chunk=100, sampler=sampler, eta=eta,
+        scan_chunk=100, sampler=sampler, eta=eta, ddim_spacing=ddim_spacing,
     )
     pos = np.asarray(res.pos)
     v = np.asarray(res.v)

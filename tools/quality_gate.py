@@ -14,6 +14,11 @@ the trained model beats the untrained one by wide margins on:
   * reconstruction success rate (chem/reconstruct.py)
   * pair-distance JSD vs the TRAINING distribution (the model's target —
     the frozen CrossDocked tables are a different chemistry)
+  * atom-TYPE distribution JSD vs the training corpus (the reference's
+    eval_atom_type metric, retargeted at the in-image training chemistry)
+  * bond-length JSD by bond type on RECONSTRUCTED molecules vs the
+    training corpus (the reference's eval_bond_length table metric;
+    bonds inferred by the same reconstruction pipeline on both sides)
 
 Writes quality_gate.json next to this file's invocation dir and exits 1 if
 any gate fails. Repeatable: fixed seeds; ~10-20 min on one v5e chip.
@@ -117,7 +122,40 @@ def sample(model, params, pool, n_mols, seed=3, num_steps=1000,
     ]
 
 
-def evaluate(mols, train_pair_profile):
+def _atom_type_jsd(counter, train_counter):
+    """JSD between two atomic-number histograms over the union of elements
+    (the reference's eval_atom_type.eval_atom_type_distribution, retargeted
+    at the training corpus distribution instead of frozen CrossDocked)."""
+    from targetdiff_tpu.evaluation import analyze
+
+    keys = sorted(set(train_counter) | set(counter))
+    p = np.array([counter.get(k, 0) for k in keys], float)
+    q = np.array([train_counter.get(k, 0) for k in keys], float)
+    if p.sum() == 0 or q.sum() == 0:
+        return None
+    return float(analyze.js_divergence(p / p.sum(), q / q.sum()))
+
+
+def _bond_jsd(bond_profile, train_bond_profile):
+    """Mean JSD over the bond types present in BOTH profiles (the
+    reference's eval_bond_length table, vs the training corpus)."""
+    from targetdiff_tpu.evaluation import analyze, eval_bond_length
+
+    common = [bt for bt in train_bond_profile if bt in bond_profile]
+    if not common:
+        return None, {}
+    detail = {
+        eval_bond_length._bond_type_str(bt): float(
+            analyze.js_divergence(bond_profile[bt], train_bond_profile[bt])
+        )
+        for bt in common
+    }
+    return float(np.mean(list(detail.values()))), detail
+
+
+def evaluate(mols, profiles):
+    from collections import Counter
+
     from targetdiff_tpu.chem.reconstruct import (
         MolReconsError, reconstruct_from_generated,
     )
@@ -130,6 +168,8 @@ def evaluate(mols, train_pair_profile):
     n_stable = n_recon = 0
     atom_stable = atom_total = 0
     pair = []
+    atoms = Counter()
+    bonds = []
     for m in mols:
         z = get_atomic_number_from_index(m["v"], "add_aromatic")
         arom = is_aromatic_from_index(m["v"], "add_aromatic")
@@ -138,40 +178,71 @@ def evaluate(mols, train_pair_profile):
         atom_stable += ns
         atom_total += na
         pair += eval_bond_length.pair_distance_from_pos_v(m["pos"], z)
+        atoms.update(int(zz) for zz in z)
         try:
-            reconstruct_from_generated(m["pos"], z, arom)
+            mol = reconstruct_from_generated(m["pos"], z, arom)
             n_recon += 1
+            bonds += eval_bond_length.bond_distance_from_mol(mol)
         except (MolReconsError, Exception):
             pass
     prof = eval_bond_length.get_pair_length_profile(pair)
     jsd = {
-        k: analyze.js_divergence(prof[k], train_pair_profile[k])
-        for k in train_pair_profile
+        k: analyze.js_divergence(prof[k], profiles["pair"][k])
+        for k in profiles["pair"]
         if k in prof
     }
+    bond_jsd, bond_detail = _bond_jsd(
+        eval_bond_length.get_bond_length_profile(bonds), profiles["bond"]
+    )
     return {
         "mol_stable": n_stable / n,
         "atom_stable": atom_stable / max(atom_total, 1),
         "recon_success": n_recon / n,
         "pair_jsd_vs_train": float(np.mean(list(jsd.values()))) if jsd else None,
         "pair_jsd_detail": {k: float(v) for k, v in jsd.items()},
+        "atom_type_jsd_vs_train": _atom_type_jsd(atoms, profiles["atom"]),
+        "bond_jsd_vs_train": bond_jsd,
+        "bond_jsd_detail": bond_detail,
         "n": n,
     }
 
 
 def train_profile(pool, n=256):
-    """Pair-distance profile of the synthetic training ligands."""
-    from targetdiff_tpu.data.transforms import get_atomic_number_from_index
+    """Pair-distance / atom-type / bond-length profiles of the synthetic
+    training ligands. Bonds come from the SAME reconstruction pipeline the
+    sampled molecules go through, so the bond-JSD comparison is apples to
+    apples."""
+    from collections import Counter
+
+    from targetdiff_tpu.chem.reconstruct import (
+        MolReconsError, reconstruct_from_generated,
+    )
+    from targetdiff_tpu.data.transforms import (
+        get_atomic_number_from_index, is_aromatic_from_index,
+    )
     from targetdiff_tpu.evaluation import eval_bond_length
 
     lp = np.asarray(pool.ligand_pos)
     lv = np.asarray(pool.ligand_v)
     lm = np.asarray(pool.ligand_mask)
     pair = []
+    atoms = Counter()
+    bonds = []
     for i in range(min(n, len(lp))):
         z = get_atomic_number_from_index(lv[i][lm[i]], "add_aromatic")
+        arom = is_aromatic_from_index(lv[i][lm[i]], "add_aromatic")
         pair += eval_bond_length.pair_distance_from_pos_v(lp[i][lm[i]], z)
-    return eval_bond_length.get_pair_length_profile(pair)
+        atoms.update(int(zz) for zz in z)
+        try:
+            mol = reconstruct_from_generated(lp[i][lm[i]], z, arom)
+            bonds += eval_bond_length.bond_distance_from_mol(mol)
+        except (MolReconsError, Exception):
+            pass
+    return {
+        "pair": eval_bond_length.get_pair_length_profile(pair),
+        "atom": atoms,
+        "bond": eval_bond_length.get_bond_length_profile(bonds),
+    }
 
 
 # minimum margins the trained model must beat the untrained one by; plus
@@ -191,6 +262,13 @@ GATES = dict(
     mol_stable_floor=0.35,
     atom_stable_floor=0.65,
     recon_floor=0.90,
+    # reference-eval extensions (round 4 cont.): atom-TYPE distribution JSD
+    # and reconstructed bond-length JSD, both vs the training corpus.
+    # Ceilings pinned above the first measured trained run; the improvement
+    # margins catch a model that stops learning the type/bond distributions.
+    atom_jsd_improvement=0.05,
+    atom_jsd_ceiling=0.15,
+    bond_jsd_ceiling=0.35,
 )
 
 
@@ -226,6 +304,24 @@ def main():
         "mol_stable_floor": ev_t["mol_stable"] >= g["mol_stable_floor"],
         "atom_stable_floor": ev_t["atom_stable"] >= g["atom_stable_floor"],
         "recon_floor": ev_t["recon_success"] >= g["recon_floor"],
+        # atom-type JSD: must both beat untrained and be small in absolute
+        # terms (untrained samples uniform types -> far from the corpus mix)
+        "atom_type_jsd": (
+            ev_t["atom_type_jsd_vs_train"] is not None
+            and ev_t["atom_type_jsd_vs_train"] <= g["atom_jsd_ceiling"]
+            and (
+                ev_u["atom_type_jsd_vs_train"] is None
+                or ev_t["atom_type_jsd_vs_train"]
+                <= ev_u["atom_type_jsd_vs_train"] - g["atom_jsd_improvement"]
+            )
+        ),
+        # bond-length JSD: untrained geometry may reconstruct too few bonds
+        # for a stable profile, so the gate is an absolute ceiling on the
+        # trained model (bond types shared with the training corpus)
+        "bond_jsd": (
+            ev_t["bond_jsd_vs_train"] is not None
+            and ev_t["bond_jsd_vs_train"] <= g["bond_jsd_ceiling"]
+        ),
     }
     report["checks"] = checks
     with open(out_path, "w") as f:

@@ -39,30 +39,39 @@ def pocket_positions(rng, NP, NL, lig_sigma=0.0):
     return ppos[order], lpos
 
 
-def kernel_inputs(geom, B, NPRO, NL, K, H, seed=0, lig_sigma=0.0):
+def kernel_inputs(geom, B, NPRO, NL, K, H, seed=0, lig_sigma=0.0,
+                  npro_pad=None):
     """Build (h, x, idx, nmask, mlig, flags) numpy arrays for kbench/kablate.
-    flags is None for geom='rand' (caller uses the all-dirty default)."""
+    flags is None for geom='rand' (caller uses the all-dirty default).
+    npro_pad > NPRO pads the protein block with masked rows (valid-vs-padded
+    duels, e.g. 512 valid atoms at N=544/TI32 vs the same atoms at
+    N=576/TI96)."""
     import jax.numpy as jnp
 
     from targetdiff_tpu.ops import graph as G
     from targetdiff_tpu.ops.pallas.block_denoiser import compute_tile_flags
 
-    N = NPRO + NL
+    NPP = NPRO if npro_pad is None else npro_pad
+    assert NPP >= NPRO
+    N = NPP + NL
     rng = np.random.default_rng(seed)
     h = rng.normal(size=(B, N, H)).astype(np.float32)
-    mlig = np.broadcast_to(np.arange(N)[None, :] >= NPRO, (B, N))
+    mlig = np.broadcast_to(np.arange(N)[None, :] >= NPP, (B, N))
     if geom == "rand":
+        assert npro_pad is None
         x = rng.normal(size=(B, N, 3)).astype(np.float32) * 4
         idx = rng.integers(0, N, (B, N, K)).astype(np.int32)
         nmask = rng.random((B, N, K)) > 0.1
         return h, x, idx, nmask, mlig, None
     assert geom == "pocket", geom
     x = np.zeros((B, N, 3), np.float32)
+    node_mask = np.ones((B, N), bool)
+    node_mask[:, NPRO:NPP] = False  # padded protein rows
     for b in range(B):
         pp, lp = pocket_positions(rng, NPRO, NL, lig_sigma=lig_sigma)
         x[b, :NPRO] = pp
-        x[b, NPRO:] = lp
-    nbh = G.knn_graph(jnp.asarray(x), jnp.ones((B, N), bool), K)
+        x[b, NPP:] = lp
+    nbh = G.knn_graph(jnp.asarray(x), jnp.asarray(node_mask), K)
     idx = np.asarray(nbh.idx)
     nmask = np.asarray(nbh.mask)
     flags = np.asarray(compute_tile_flags(jnp.asarray(idx), jnp.asarray(nmask), NL))

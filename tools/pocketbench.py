@@ -8,7 +8,12 @@ Real CrossDocked 10A pockets run ~300-600 atoms
 only ever measured NP=384. Prints a size-weighted test-set throughput
 estimate assuming pocket sizes uniform in [300, 600].
 
-Usage: python tools/pocketbench.py [batch] [reps]
+Usage: python tools/pocketbench.py [batch] [reps] [NP list]
+  NP list: comma-separated entries, "512" (all rows valid) or "512@576"
+  (512 valid protein atoms padded to 576 rows). e.g.
+  `python tools/pocketbench.py 100 5 512,512@576` duels the 512-atom
+  pocket class at its natural padding (N=544, TI=32) vs +64 padded rows
+  (N=576, TI=96) — trading 6% more gather FLOPs for a 3x wider tile.
 """
 
 import os
@@ -56,13 +61,23 @@ def main():
     )
     offsets, coeff = gaussian_smearing_offsets(0.0, 10.0, 20)
 
+    # entries are either "512" (all rows valid) or "512@576" (512 valid
+    # protein atoms padded to 576 rows — the tile-aware padding question)
+    np_list = (
+        tuple(sys.argv[3].split(",")) if len(sys.argv) > 3
+        else ("384", "512", "640")
+    )
     results = {}
-    for NPRO in (384, 512, 640):
-        N = NPRO + NL
+    for spec in np_list:
+        NPRO, _, pad_s = spec.partition("@")
+        NPRO = int(NPRO)
+        NPP = int(pad_s) if pad_s else NPRO
+        N = NPP + NL
         fits = block_denoiser_fits(N, K, H, NL)
         TI = pick_tile(N)
         h, x, idx, nmask, mlig, flags = kernel_inputs(
-            "pocket", B, NPRO, NL, K, H
+            "pocket", B, NPRO, NL, K, H,
+            npro_pad=NPP if pad_s else None,
         )
         h = jnp.asarray(h).astype(jnp.bfloat16)
         x, idx = jnp.asarray(x), jnp.asarray(idx)
@@ -81,21 +96,21 @@ def main():
             ho, xo = run(h)
             np.asarray(xo[0, 0, 0])
         except Exception as e:
-            print(f"NP={NPRO} (N={N}, TI={TI}, fits={fits}): FAILED "
+            print(f"NP={spec} (N={N}, TI={TI}, fits={fits}): FAILED "
                   f"{type(e).__name__}: {e}", flush=True)
             continue
         med = chain_time(run, h, reps)
-        results[NPRO] = med
-        print(f"NP={NPRO} (N={N}, TI={TI}, mega_fits={fits}): "
+        results[spec] = med
+        print(f"NP={spec} (N={N}, TI={TI}, mega_fits={fits}): "
               f"{med:8.2f} ms/call -> {B/med:.3f} mol/s at 1000 steps "
               f"(compile {time.time()-t0:.0f}s)", flush=True)
 
-    if len(results) == 3:
+    if set(results) == {'384', '512', '640'}:
         # size-weighted: pockets uniform in [300, 600] -> padded NP buckets
         # 384 (300-384), 512 (385-512), 640 (513-600) with widths 85/128/88
         w = np.array([85, 128, 88], float)
         w /= w.sum()
-        t = float((w * np.array([results[384], results[512], results[640]])).sum())
+        t = float((w * np.array([results['384'], results['512'], results['640']])).sum())
         print(f"size-weighted test-set estimate: {t:.1f} ms/step -> "
               f"{B/t:.3f} mol/s (1000-step DDPM, batch {B})")
 

@@ -41,8 +41,17 @@ def _bond_len(z1: int, z2: int) -> float:
     return _BOND.get((min(z1, z2), max(z1, z2)), 1.5)
 
 
+# realistic bond-length variance: crystallographic/thermal spread of
+# heavy-atom single bonds is ~0.01-0.03 A. Ideal (zero-variance) bonds
+# make any histogram JSD vs the corpus degenerate at the reference's
+# 5 mA DISTANCE_BINS (a delta profile overlaps nothing), so sampled
+# geometry could never score well no matter how good the model is.
+BOND_SIGMA = 0.02
+
+
 def synth_ligand(rng: np.random.Generator, n_min: int = 14, n_max: int = 28):
-    """One tree-shaped molecule with ideal covalent geometry.
+    """One tree-shaped molecule with near-ideal covalent geometry (bond
+    lengths ~ N(ideal, BOND_SIGMA)).
 
     Returns (pos [n,3] f32, atomic_numbers [n] int, v [n] int vocab indices).
     Growth: attach each new atom to a random open site, direction chosen
@@ -63,7 +72,9 @@ def synth_ligand(rng: np.random.Generator, n_min: int = 14, n_max: int = 28):
         if not open_sites:
             open_sites = [int(np.argmin(deg[:i]))]
         j = int(open_sites[rng.integers(len(open_sites))])
-        blen = _bond_len(int(z[i]), int(z[j]))
+        blen = _bond_len(int(z[i]), int(z[j])) + float(
+            rng.normal(0.0, BOND_SIGMA)
+        )
         best, best_clear = None, -1.0
         for _ in range(24):
             d = rng.normal(size=3)

@@ -53,10 +53,35 @@ def test_bond_jsd_common_types_only():
     assert none_jsd is None and none_det == {}
 
 
+def test_bond_jsd_frequency_weighting_drops_rare_types():
+    from collections import Counter
+
+    from targetdiff_tpu.evaluation.eval_bond_length import (
+        get_bond_length_profile,
+    )
+
+    rng = np.random.default_rng(1)
+    cc = [((6, 6, 1), float(d)) for d in rng.normal(1.54, 0.02, 970)]
+    rare = [((8, 9, 1), 1.42)] * 30  # 3% — at the min_frac cutoff edge
+    train = get_bond_length_profile(cc + rare)
+    counts = Counter({(6, 6, 1): 970, (8, 9, 1): 30})
+    # model matches C-C, misses the rare type entirely
+    model = get_bond_length_profile(
+        [((6, 6, 1), float(d)) for d in rng.normal(1.54, 0.02, 500)]
+        + [((8, 9, 1), 1.80)] * 5
+    )
+    unweighted, _ = qg._bond_jsd(model, train)
+    weighted, det = qg._bond_jsd(model, train, train_counts=counts,
+                                 min_frac=0.05)
+    assert set(det) == {"6-6|1"}  # rare type dropped below min_frac
+    assert weighted < unweighted  # the max-JSD rare type no longer dominates
+
+
 def test_train_profile_contains_all_three_blocks():
     pool = qg.make_pool(seed=0, pool=8)
     prof = qg.train_profile(pool, n=8)
-    assert set(prof) == {"pair", "atom", "bond"}
+    assert set(prof) == {"pair", "atom", "bond", "bond_counts"}
+    assert sum(prof["bond_counts"].values()) > 0
     assert "CC_2A" in prof["pair"] and "All_12A" in prof["pair"]
     # synthetic chemistry is C/N/O/F
     assert set(prof["atom"]) <= {6, 7, 8, 9}

@@ -136,12 +136,21 @@ def _atom_type_jsd(counter, train_counter):
     return float(analyze.js_divergence(p / p.sum(), q / q.sum()))
 
 
-def _bond_jsd(bond_profile, train_bond_profile):
-    """Mean JSD over the bond types present in BOTH profiles (the
-    reference's eval_bond_length table, vs the training corpus)."""
+def _bond_jsd(bond_profile, train_bond_profile, train_counts=None,
+              min_frac=0.03):
+    """JSD over the bond types present in BOTH profiles (the reference's
+    eval_bond_length table, vs the training corpus). With train_counts, the
+    mean is WEIGHTED by the training corpus's bond-type frequency and types
+    below min_frac of all train bonds are dropped — a handful of rare-type
+    bonds otherwise dominate the mean with pure histogram noise."""
     from targetdiff_tpu.evaluation import analyze, eval_bond_length
 
     common = [bt for bt in train_bond_profile if bt in bond_profile]
+    if train_counts:
+        total = sum(train_counts.values())
+        common = [
+            bt for bt in common if train_counts.get(bt, 0) >= min_frac * total
+        ]
     if not common:
         return None, {}
     detail = {
@@ -150,6 +159,12 @@ def _bond_jsd(bond_profile, train_bond_profile):
         )
         for bt in common
     }
+    if train_counts:
+        w = np.array([train_counts[bt] for bt in common], float)
+        vals = np.array(
+            [detail[eval_bond_length._bond_type_str(bt)] for bt in common]
+        )
+        return float((w * vals).sum() / w.sum()), detail
     return float(np.mean(list(detail.values()))), detail
 
 
@@ -192,7 +207,8 @@ def evaluate(mols, profiles):
         if k in prof
     }
     bond_jsd, bond_detail = _bond_jsd(
-        eval_bond_length.get_bond_length_profile(bonds), profiles["bond"]
+        eval_bond_length.get_bond_length_profile(bonds), profiles["bond"],
+        train_counts=profiles.get("bond_counts"),
     )
     return {
         "mol_stable": n_stable / n,
@@ -238,10 +254,13 @@ def train_profile(pool, n=256):
             bonds += eval_bond_length.bond_distance_from_mol(mol)
         except (MolReconsError, Exception):
             pass
+    from targetdiff_tpu.evaluation.eval_bond_length import _format_bond_type
+
     return {
         "pair": eval_bond_length.get_pair_length_profile(pair),
         "atom": atoms,
         "bond": eval_bond_length.get_bond_length_profile(bonds),
+        "bond_counts": Counter(_format_bond_type(bt) for bt, _ in bonds),
     }
 
 

@@ -73,6 +73,34 @@ def sample_ligand_sizes(
     return np.clip(sizes, 1, max_ligand).astype(np.int32)
 
 
+def choose_protein_padding(np_max: int, max_protein: int,
+                           max_ligand: int) -> int:
+    """Tile-aware protein padding for the sharded sampler.
+
+    The megakernel tiles N = NPpad + max_ligand into its largest 8-aligned
+    divisor <= 104 (pick_tile); an awkward N (e.g. 544 -> TI=32) runs
+    markedly slower than a slightly LARGER padded N with a wide tile
+    (e.g. 576 -> TI=96). Baseline padding is the next multiple of 64; a
+    single bump (in 32-row steps, at most +64 rows) is taken when it lifts
+    the tile from < 64 to >= 64. Measured justification:
+    tools/pocketbench.py `512,512@576` duel (BASELINE.md round-4 notes).
+    """
+    from .ops.pallas.block_denoiser import pick_tile
+
+    if np_max > max_protein:
+        raise ValueError(
+            f"largest pocket has {np_max} atoms but max_protein={max_protein}"
+        )
+    NPpad = min(max_protein, -(-np_max // 64) * 64)
+    if pick_tile(NPpad + max_ligand) >= 64:
+        return NPpad
+    for bump in (32, 64):
+        cand = NPpad + bump
+        if cand <= max_protein and pick_tile(cand + max_ligand) >= 64:
+            return cand
+    return NPpad
+
+
 def sample_diffusion_ligand(
     model: DiffusionModel,
     params,
@@ -260,20 +288,7 @@ def sample_testset_sharded(
         raise ValueError(
             f"largest pocket has {np_max} atoms but max_protein={max_protein}"
         )
-    NPpad = min(max_protein, -(-np_max // 64) * 64)
-    # tile-aware padding: the megakernel tiles N = NPpad + max_ligand into
-    # its largest 8-aligned divisor <= 104; an awkward N (e.g. 544 -> TI=32)
-    # runs markedly slower than a slightly LARGER padded N with a wide tile
-    # (e.g. 576 -> TI=96). Bump in 64-row steps while that helps.
-    from .ops.pallas.block_denoiser import pick_tile
-
-    # Only a single +64 bump is taken: trading more padded rows for a wider
-    # tile is a measured-on-hardware question (tools/pocketbench.py compares
-    # N=544@TI32 vs N=672@TI96); a multi-step bump adds up to +28% gather
-    # FLOPs and is NOT known to win.
-    if (pick_tile(NPpad + max_ligand) < 64 and NPpad + 64 <= max_protein
-            and pick_tile(NPpad + 64 + max_ligand) >= 64):
-        NPpad += 64
+    NPpad = choose_protein_padding(np_max, max_protein, max_ligand)
     bank_pos = np.zeros((P, NPpad, 3), np.float32)
     bank_feat = np.zeros((P, NPpad, fp), np.float32)
     bank_len = np.zeros((P,), np.int32)

@@ -75,30 +75,21 @@ def sample_ligand_sizes(
 
 def choose_protein_padding(np_max: int, max_protein: int,
                            max_ligand: int) -> int:
-    """Tile-aware protein padding for the sharded sampler.
+    """Protein padding for the sharded sampler: the next multiple of 64.
 
-    The megakernel tiles N = NPpad + max_ligand into its largest 8-aligned
-    divisor <= 104 (pick_tile); an awkward N (e.g. 544 -> TI=32) runs
-    markedly slower than a slightly LARGER padded N with a wide tile
-    (e.g. 576 -> TI=96). Baseline padding is the next multiple of 64; a
-    single bump (in 32-row steps, at most +64 rows) is taken when it lifts
-    the tile from < 64 to >= 64. Measured justification:
-    tools/pocketbench.py `512,512@576` duel (BASELINE.md round-4 notes).
+    Trading extra padded rows for a WIDER megakernel tile was measured and
+    REJECTED (tools/pocketbench.py `512,512@544` duel, 2026-08-18, v5e,
+    realistic geometry): 512 valid atoms at N=544/TI=32 ran 71.4 ms/call
+    vs 73.6 at N=576/TI=96 — the finer tiling skips MORE work via the v9
+    per-tile flags (65% of regeo tiles clean vs 56%; 73% of last-x2h tiles
+    dead vs 66%), which outweighs the narrow tile's loop overhead. Natural
+    padding wins; do not reintroduce a tile-widening bump without a duel.
     """
-    from .ops.pallas.block_denoiser import pick_tile
-
     if np_max > max_protein:
         raise ValueError(
             f"largest pocket has {np_max} atoms but max_protein={max_protein}"
         )
-    NPpad = min(max_protein, -(-np_max // 64) * 64)
-    if pick_tile(NPpad + max_ligand) >= 64:
-        return NPpad
-    for bump in (32, 64):
-        cand = NPpad + bump
-        if cand <= max_protein and pick_tile(cand + max_ligand) >= 64:
-            return cand
-    return NPpad
+    return min(max_protein, -(-np_max // 64) * 64)
 
 
 def sample_diffusion_ligand(

@@ -82,19 +82,18 @@ def test_sharded_testset_chunked_full_scale():
     assert total == 10000
 
 
-def test_choose_protein_padding_tile_aware():
-    """The sharded sampler must trade a few padded rows for a wide tile:
-    the 512-atom pocket class pads 512->544 (N=576, TI=96) instead of
-    N=544 @ TI=32 (tools/pocketbench.py 512,512@576 duel)."""
-    from targetdiff_tpu.ops.pallas.block_denoiser import pick_tile
+def test_choose_protein_padding_natural():
+    """Padding is the next multiple of 64, capped at max_protein. The
+    tile-widening bump (e.g. 512 -> 544 rows for N=576/TI=96) was duel-
+    REJECTED on hardware: finer tiles skip more v9 work than wide tiles
+    save (tools/pocketbench.py 512,512@544, BASELINE.md round-4 notes)."""
     from targetdiff_tpu.sampling import choose_protein_padding
 
-    # flagship class: already wide (N=416 -> TI=104), no bump
     assert choose_protein_padding(330, 1024, 32) == 384
-    # 512 class: base N=544 -> TI=32; +32 rows gives N=576 -> TI=96
-    assert pick_tile(544) == 32 and pick_tile(576) == 96
-    assert choose_protein_padding(500, 1024, 32) == 544
-    # 640 class: N=672 -> TI=96 natively, no bump
+    assert choose_protein_padding(500, 1024, 32) == 512  # NOT 544
     assert choose_protein_padding(600, 1024, 32) == 640
-    # cap respected: max_protein forbids the bump
-    assert choose_protein_padding(500, 512, 32) == 512
+    assert choose_protein_padding(500, 500, 32) == 500  # cap
+    import pytest
+
+    with pytest.raises(ValueError):
+        choose_protein_padding(600, 512, 32)

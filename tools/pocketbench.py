@@ -9,10 +9,10 @@ only ever measured NP=384. Prints a size-weighted test-set throughput
 estimate assuming pocket sizes uniform in [300, 600].
 
 Usage: python tools/pocketbench.py [batch] [reps] [NP list]
-  NP list: comma-separated entries, "512" (all rows valid) or "512@576"
-  (512 valid protein atoms padded to 576 rows). e.g.
-  `python tools/pocketbench.py 100 5 512,512@576` duels the 512-atom
-  pocket class at its natural padding (N=544, TI=32) vs +64 padded rows
+  NP list: comma-separated entries, "512" (all rows valid) or "512@544"
+  (512 valid protein atoms padded to 544 rows; N = rows + 32 ligand). e.g.
+  `python tools/pocketbench.py 100 5 512,512@544` duels the 512-atom
+  pocket class at its natural padding (N=544, TI=32) vs +32 padded rows
   (N=576, TI=96) — trading 6% more gather FLOPs for a 3x wider tile.
 """
 

@@ -177,9 +177,12 @@ def _kekulize_aromatic(mol: Molecule, aromatic_atoms: Sequence[int]) -> None:
     double bond."""
     arom = set(aromatic_atoms)
     ring_bonds = []
+    in_6ring = set()
     for ring in mol.rings():
         if all(i in arom for i in ring):
             rs = set(ring)
+            if len(ring) == 6:
+                in_6ring |= rs
             for b in mol.bonds:
                 if b.a1 in rs and b.a2 in rs:
                     b.aromatic = True
@@ -187,12 +190,16 @@ def _kekulize_aromatic(mol: Molecule, aromatic_atoms: Sequence[int]) -> None:
     # kekulized orders via maximum matching (greedy fails on unlucky bond
     # orderings, e.g. benzene picking two non-adjacent doubles and stranding
     # two atoms); augmenting-path search covers paths and even cycles, which
-    # is what aromatic systems reduce to once lone-pair donors are excluded
+    # is what aromatic systems reduce to once lone-pair donors are excluded.
+    # Carbons always participate; ring N participates in 6-rings only
+    # (pyridine-type N=C) — in 5-rings the N is the lone-pair donor
+    # (pyrrole) and keeps its single bonds.
     needs = {
         i
         for b in ring_bonds
         for i in (b.a1, b.a2)
-        if mol.atoms[i].z == 6 and _free_valence_kekule(mol, i)
+        if (mol.atoms[i].z == 6 or (mol.atoms[i].z == 7 and i in in_6ring))
+        and _free_valence_kekule(mol, i)
     }
     adj = {i: [] for i in needs}
     for b in ring_bonds:
@@ -225,6 +232,69 @@ def _free_valence_kekule(mol: Molecule, i: int) -> bool:
     return v < PT.DEFAULT_VALENCES.get(mol.atoms[i].z, 4)
 
 
+# aromatic (delocalized) bond-length windows per element pair, Angstrom:
+# between the double-bond and single-bond regimes, generously widened for
+# generated-geometry noise. Crystallographic aromatic means: CC 1.39,
+# CN 1.34, CO 1.36, CS 1.71, NN 1.35.
+_AROMATIC_WINDOWS = {
+    (6, 6): (1.30, 1.46),
+    (6, 7): (1.27, 1.42),
+    (6, 8): (1.29, 1.42),
+    (6, 16): (1.62, 1.79),
+    (7, 7): (1.27, 1.42),
+}
+_AROMATIC_PLANARITY_RMS = 0.12  # A, rms out-of-plane deviation
+
+
+def _geometric_aromatic_rings(mol: Molecule) -> List[List[int]]:
+    """Aromatic 5/6-rings detected from GEOMETRY: every ring bond length in
+    the delocalized window for its element pair, and the ring near-planar.
+
+    This is the behavior the reference inherits from OpenBabel, whose
+    PerceiveBondOrders aromatizes planar rings at intermediate bond lengths
+    (reference: utils/reconstruct.py:474-509 perceives + majority-vote
+    aromatizes rings from raw coordinates) — a benzene generated at the
+    delocalized 1.39 A geometry must come back aromatic, not as a
+    cyclohexane whose distances match no bond-order table row."""
+    out = []
+    for ring in mol.rings():
+        m = len(ring)
+        if m not in (5, 6):
+            continue
+        zs = [mol.atoms[i].z for i in ring]
+        if any(z not in (6, 7, 8, 16) for z in zs):
+            continue
+        pos = np.asarray([mol.atoms[i].pos for i in ring], np.float64)
+        adj = {i: mol.neighbors(i) for i in ring}
+        ok = True
+        for k, i in enumerate(ring):
+            # ring order as returned is path order; verify consecutive
+            # vertices really are bonded before measuring their length
+            j = ring[(k + 1) % m]
+            if j not in adj[i]:
+                ok = False
+                break
+            w = _AROMATIC_WINDOWS.get(
+                (min(mol.atoms[i].z, mol.atoms[j].z), max(mol.atoms[i].z, mol.atoms[j].z))
+            )
+            if w is None:
+                ok = False
+                break
+            d = float(np.linalg.norm(np.asarray(mol.atoms[i].pos) - np.asarray(mol.atoms[j].pos)))
+            if not (w[0] <= d <= w[1]):
+                ok = False
+                break
+        if not ok:
+            continue
+        centered = pos - pos.mean(0)
+        # smallest singular value = rms mass out of the best-fit plane
+        sv = np.linalg.svd(centered, compute_uv=False)
+        if sv[-1] / np.sqrt(m) > _AROMATIC_PLANARITY_RMS:
+            continue
+        out.append(ring)
+    return out
+
+
 def reconstruct_from_generated(
     xyz: np.ndarray,
     atomic_nums: Sequence[int],
@@ -255,6 +325,18 @@ def reconstruct_from_generated(
             for i in flagged:
                 mol.atoms[i].aromatic = True
             _kekulize_aromatic(mol, flagged)
+        else:
+            # geometry-perceived aromaticity (the OpenBabel-equivalent leg
+            # of the reference pipeline): planar rings at delocalized bond
+            # lengths become aromatic and are kekulized BEFORE the
+            # distance-table order assignment, so in-ring near-double
+            # distances don't consume valence the kekulization needs
+            geo = _geometric_aromatic_rings(mol)
+            if geo:
+                flat = sorted({i for r in geo for i in r})
+                for i in flat:
+                    mol.atoms[i].aromatic = True
+                _kekulize_aromatic(mol, flat)
         _assign_bond_orders(mol)
         if aromatic is None or basic_mode:
             mol.perceive_aromaticity()

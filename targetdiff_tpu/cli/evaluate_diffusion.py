@@ -38,6 +38,7 @@ def evaluate_results(result_files, atom_mode, docking_mode="none",
     n_stable = 0
     n_atom_stable, n_atom_total = 0, 0
     n_recon, n_complete = 0, 0
+    n_arom_pred, n_arom_recovered = 0, 0
     all_pair_dist, all_bond_dist = [], []
     all_atom_types = Counter()
     results = []
@@ -67,14 +68,25 @@ def evaluate_results(result_files, atom_mode, docking_mode="none",
             all_atom_types += Counter(atom_nums)
             all_pair_dist += eval_bond_length.pair_distance_from_pos_v(pos, atom_nums)
 
+            # aromatic-ring recovery: of the samples whose TYPE channel
+            # predicts an aromatic system (>= 5 aromatic-class atoms), how
+            # many reconstruct to a molecule with an aromatic ring — ties
+            # the type and geometry channels together (round 5)
+            arom_predicted = aromatic is not None and sum(aromatic) >= 5
+
             try:
                 mol = reconstruct_from_generated(
                     pos, atom_nums, aromatic, basic_mode=(atom_mode == "basic")
                 )
                 smiles = mol.to_smiles()
             except MolReconsError:
+                if arom_predicted:
+                    n_arom_pred += 1
                 continue
             n_recon += 1
+            if arom_predicted:
+                n_arom_pred += 1
+                n_arom_recovered += int(any(b.aromatic for b in mol.bonds))
             if "." in smiles:
                 continue
             n_complete += 1
@@ -110,6 +122,18 @@ def evaluate_results(result_files, atom_mode, docking_mode="none",
         "bond_length_jsd": bond_metrics,
         "pair_length_jsd": pair_metrics,
         "atom_type_jsd": atom_jsd,
+        # raw profiles so callers (e.g. tools/quality_gate.py) can compare
+        # against a distribution other than the frozen CrossDocked tables
+        "pair_length_profile": pair_profile,
+        "bond_length_profile": bond_profile,
+        "bond_type_counts": Counter(
+            eval_bond_length._format_bond_type(bt) for bt, _ in all_bond_dist
+        ),
+        "atom_type_counts": all_atom_types,
+        "aromatic_ring_recovery": (
+            n_arom_recovered / n_arom_pred if n_arom_pred else None
+        ),
+        "n_aromatic_predicted": n_arom_pred,
         "qed_mean": float(np.mean(qed)) if qed else None,
         "qed_median": float(np.median(qed)) if qed else None,
         "sa_mean": float(np.mean(sa)) if sa else None,
@@ -196,6 +220,8 @@ def main(argv=None):
         eval_step=args.eval_step,
     )
     for k, v in summary.items():
+        if k.endswith("_profile"):
+            continue  # raw histograms, too noisy for the log
         logger.info(f"{k}: {v}")
     out_path = args.out or os.path.join(args.sample_path, "metrics.pkl")
     with open(out_path, "wb") as f:

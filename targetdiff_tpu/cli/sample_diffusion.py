@@ -80,10 +80,12 @@ def main(argv=None):
     ap.add_argument("--chunk_rows", type=int, default=100,
                     help="max pocket x sample rows in flight (HBM bound)")
     ap.add_argument(
-        "--sampler", default=None, choices=["ddpm", "ddim"],
+        "--sampler", default=None, choices=["ddpm", "ddim", "dpm2"],
         help="override config.sample.sampler: ddpm = reference-exact "
         "ancestral sampling; ddim = stride the full schedule over "
-        "config.sample.num_steps jumps (faster; no reference counterpart)",
+        "config.sample.num_steps jumps (faster; no reference counterpart); "
+        "dpm2 = Heun/DPM-Solver-2 second-order correction of the ddim jump "
+        "(2 model evals per step, better quality at low NFE)",
     )
     ap.add_argument("--ddim_spacing", default=None, choices=["uniform", "quadratic"],
                     help="ddim timestep spacing (quadratic = denser at low t)")

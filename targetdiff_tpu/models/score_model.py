@@ -479,35 +479,70 @@ class DiffusionModel:
 
         `ts_pair` is the per-step scan slice: a dict with int scalars "t"
         and "s" (denoise from timestep t to timestep s) plus, for
-        sampler='ddim', the host-precomputed f64->f32 position coefficients
-        "cx0"/"cxt"/"sig" (ops/diffusion.py ddim_pos_coefficients).
-        sampler='ddpm' has s = t-1 and reproduces the reference's ancestral
-        step; 'ddim' takes arbitrary jumps (strided D3PM posterior for atom
-        types), a capability the reference lacks. s < 0 is the final jump
-        to the clean sample."""
+        sampler='ddim'/'dpm2', the host-precomputed f64->f32 position
+        coefficients "cx0"/"cxt"/"sig" (ops/diffusion.py
+        ddim_pos_coefficients). sampler='ddpm' has s = t-1 and reproduces
+        the reference's ancestral step; 'ddim' takes arbitrary jumps
+        (strided D3PM posterior for atom types); 'dpm2' is the Heun /
+        DPM-Solver-2 second-order correction of the ddim step (two model
+        evaluations per jump) — capabilities the reference lacks. s < 0 is
+        the final jump to the clean sample."""
         ligand_pos, ligand_v, k = carry
         k, k_pos, k_v = jax.random.split(k, 3)
         t = jnp.full((cbatch.num_graphs,), ts_pair["t"], jnp.int32)
         s = jnp.full((cbatch.num_graphs,), ts_pair["s"], jnp.int32)
-        if impl == "fast":
-            preds = self.fast_apply(
-                params, cbatch, ligand_pos, ligand_v, t, dtype=dtype,
-                need_full_h=False,
-            )
-        else:
-            preds = self.apply(params, cbatch, ligand_pos, ligand_v, t)
 
-        if self.model_mean_type == "noise":
-            pred_pos_noise = preds["pred_ligand_pos"] - ligand_pos
-            pos0_from_e = D.predict_x0_from_eps(self.pos_sched, ligand_pos, pred_pos_noise, t)
-        elif self.model_mean_type == "C0":
-            pos0_from_e = preds["pred_ligand_pos"]
-        else:
-            raise ValueError(self.model_mean_type)
-        v0_from_e = preds["pred_ligand_v"]
+        def apply_model(pos, v, tt):
+            if impl == "fast":
+                preds_ = self.fast_apply(
+                    params, cbatch, pos, v, tt, dtype=dtype, need_full_h=False,
+                )
+            else:
+                preds_ = self.apply(params, cbatch, pos, v, tt)
+            if self.model_mean_type == "noise":
+                pos0 = D.predict_x0_from_eps(
+                    self.pos_sched, pos, preds_["pred_ligand_pos"] - pos, tt
+                )
+            elif self.model_mean_type == "C0":
+                pos0 = preds_["pred_ligand_pos"]
+            else:
+                raise ValueError(self.model_mean_type)
+            return pos0, preds_["pred_ligand_v"]
+
+        pos0_from_e, v0_from_e = apply_model(ligand_pos, ligand_v, t)
+
+        if sampler == "dpm2":
+            # Heun / DPM-Solver-2, data-prediction form: take the
+            # deterministic first-order DDIM proposal to s, re-evaluate the
+            # model there, and redo the jump from the AVERAGE of the two
+            # x0 predictions (trapezoidal correction). The standard
+            # second-order fix for first-order DDIM's low-NFE stability
+            # loss (BASELINE.md ddim table). Two NFE per jump; the final
+            # jump (s < 0) stays first-order.
+            x_prop = (
+                ts_pair["cx0"] * pos0_from_e + ts_pair["cxt"] * ligand_pos
+            ) * lmask_f
+            # types for the mid evaluation: greedy strided-posterior state
+            # at s from the first prediction (what the next step would see)
+            log_v_now = D.index_to_log_onehot(ligand_v, self.num_classes)
+            s_eval = jnp.maximum(s, 0)
+            log_post_mid = D.q_v_posterior_strided(
+                self.v_sched, jax.nn.log_softmax(v0_from_e, axis=-1),
+                log_v_now, t, s_eval, self.num_classes,
+            )
+            v_prop = jnp.argmax(log_post_mid, axis=-1)
+            pos0_2, v0_2 = apply_model(x_prop, v_prop, s_eval)
+            do_corr = (ts_pair["s"] >= 0).astype(ligand_pos.dtype)
+            pos0_from_e = pos0_from_e + 0.5 * do_corr * (pos0_2 - pos0_from_e)
+            # average the two type predictions in probability space
+            p_avg = 0.5 * (
+                jax.nn.softmax(v0_from_e, axis=-1) + jax.nn.softmax(v0_2, axis=-1)
+            )
+            log_avg = jnp.log(jnp.clip(p_avg, 1e-30, None))
+            v0_from_e = v0_from_e + do_corr * (log_avg - v0_from_e)
 
         noise = jax.random.normal(k_pos, ligand_pos.shape, ligand_pos.dtype)
-        if sampler == "ddim":
+        if sampler in ("ddim", "dpm2"):
             ligand_pos_next = (
                 ts_pair["cx0"] * pos0_from_e
                 + ts_pair["cxt"] * ligand_pos
@@ -526,7 +561,7 @@ class DiffusionModel:
             ligand_v_next = ligand_v
         else:
             log_ligand_v = D.index_to_log_onehot(ligand_v, self.num_classes)
-            if sampler == "ddim":
+            if sampler in ("ddim", "dpm2"):
                 log_post = D.q_v_posterior_strided(
                     self.v_sched, log_ligand_v_recon, log_ligand_v, t, s,
                     self.num_classes,
@@ -597,11 +632,13 @@ class DiffusionModel:
         )
         cbatch = batch._replace(protein_pos=protein_pos)
 
-        if sampler == "ddim":
+        if sampler in ("ddim", "dpm2"):
             # subsequence of the full schedule, descending; each step jumps
             # t -> s (the next entry; final jump s = -1). 'quadratic'
             # spacing spends more of the NFE budget at low t, where the
             # fine geometry (bond lengths -> stability) is decided.
+            # 'dpm2' takes the same jump grid but spends TWO model
+            # evaluations per jump (Heun correction) — NFE ~ 2*num_steps.
             if ddim_spacing == "quadratic":
                 frac = np.linspace(0.0, 1.0, num_steps) ** 2
                 grid = frac * (self.num_timesteps - 1)
@@ -615,7 +652,9 @@ class DiffusionModel:
             time_seq = np.arange(self.num_timesteps - num_steps, self.num_timesteps)[::-1].copy()
             s_seq = time_seq - 1
         else:
-            raise ValueError(f"unknown sampler {sampler!r} (want 'ddpm' or 'ddim')")
+            raise ValueError(
+                f"unknown sampler {sampler!r} (want 'ddpm', 'ddim' or 'dpm2')"
+            )
 
         def step(carry, ts_pair):
             return self._sample_step(
@@ -629,7 +668,7 @@ class DiffusionModel:
             "t": jnp.asarray(time_seq, jnp.int32),
             "s": jnp.asarray(s_seq, jnp.int32),
         }
-        if sampler == "ddim":
+        if sampler in ("ddim", "dpm2"):
             cx0, cxt, sig = D.ddim_pos_coefficients(
                 np.asarray(jax.device_get(self.pos_sched.betas)), time_seq, s_seq, eta
             )

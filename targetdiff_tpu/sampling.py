@@ -217,6 +217,19 @@ def sample_diffusion_ligand(
     }
 
 
+def _fetch_global(x) -> np.ndarray:
+    """Device->host fetch that works on process-spanning shardings: with one
+    process this is np.asarray; with several, the dp-sharded global array is
+    all-gathered so every process sees the full value."""
+    import jax
+
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def sample_testset_sharded(
     model: DiffusionModel,
     params,
@@ -333,9 +346,13 @@ def sample_testset_sharded(
             params, k_samp, batch, init_pos, init_v, num_steps=num_steps,
             impl=impl, sampler=sampler, eta=eta, ddim_spacing=ddim_spacing,
         )
-        # np.asarray is the reliable device sync on remote-attached TPUs
-        pos_np = np.asarray(res.pos, np.float64)
-        v_np = np.asarray(res.v)
+        # np.asarray is the reliable device sync on remote-attached TPUs.
+        # Multi-host: the result rows are dp-sharded across processes, so a
+        # plain fetch would only see addressable shards — all-gather the
+        # global value so every process returns the identical full result
+        # (tested: tests/test_multihost.py 2-process sampling)
+        pos_np = np.asarray(_fetch_global(res.pos), np.float64)
+        v_np = _fetch_global(res.v)
         chunk_t = time.time() - t1
         # honest per-pocket timing: attribute the measured chunk time to
         # pockets by their share of the chunk's real (non-pad) rows

@@ -1,20 +1,24 @@
-"""Worker for the multi-host training test (not a test module itself).
+"""Worker for the multi-host tests (not a test module itself).
 
-Run as:  python tests/multihost_worker.py PID PORT
+Run as:  python tests/multihost_worker.py PID PORT [MODE]
   PID >= 0: join a 2-process jax.distributed run (4 local CPU devices each,
-            8 global) and train one step over the process-spanning mesh.
+            8 global) over the process-spanning mesh.
   PID = -1: single-process reference (8 local CPU devices), same mesh shape.
+  MODE: "train" (default) — one train step, prints ``LOSS=``/``VAL=``;
+        "sample" — the production sharded test-set sampler
+        (sampling.sample_testset_sharded) over the same mesh, prints
+        ``POS=``/``V=`` digests of the full gathered result.
 
-Prints ``LOSS=<value>``; all three invocations must agree exactly —
-verifying the SURVEY §5 multi-host path (jax.distributed + global arrays +
-gradient psum over the process-spanning mesh).
+All invocations of a mode must agree — verifying the SURVEY §5 multi-host
+path (jax.distributed + global arrays + psum/allgather over the
+process-spanning mesh) for BOTH training and sampling.
 """
 
 import os
 import sys
 
 
-def main(pid: int, port: int) -> None:
+def main(pid: int, port: int, mode: str = "train") -> None:
     n_local = 8 if pid < 0 else 4
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={n_local} "
@@ -71,6 +75,40 @@ def main(pid: int, port: int) -> None:
     )
 
     model = DiffusionModel(cfg, FP, NC, max_protein=NP_, max_ligand=NL)
+
+    if mode == "sample":
+        from targetdiff_tpu.sampling import sample_testset_sharded
+
+        params = model.init(jax.random.PRNGKey(0), batch)
+        mesh = make_mesh(n_dp=8, n_mp=1)
+        prng = np.random.default_rng(42)
+        pockets = [
+            {
+                "protein_pos": prng.normal(size=(12, 3)).astype(np.float32) * 3,
+                "protein_feat": (prng.random((12, FP)) > 0.7).astype(np.float32),
+            }
+            for _ in range(2)
+        ]
+        out = sample_testset_sharded(
+            model, params, pockets, 4, jax.random.PRNGKey(5), mesh=mesh,
+            num_steps=4, sample_num_atoms="ref", ref_sizes=[4, 5],
+            max_protein=NP_, max_ligand=NL, impl="xla",
+            rng=np.random.default_rng(0), chunk_rows=8,
+        )
+        pos_all = np.concatenate(
+            [p.ravel() for e in out for p in e["pos"]]
+        ).astype(np.float64)
+        v_all = np.concatenate([v.ravel() for e in out for v in e["v"]])
+        # POS as a rounded checksum (cross-process bitwise equality is
+        # asserted separately on the exact digest), V as the full sequence
+        import hashlib
+
+        digest = hashlib.md5(pos_all.tobytes()).hexdigest()
+        print(f"POS={pos_all.sum():.10f}", flush=True)
+        print(f"POSDIGEST={digest}", flush=True)
+        print(f"V={','.join(str(int(x)) for x in v_all)}", flush=True)
+        return
+
     optimizer = train_utils.get_optimizer(
         Config(dict(type="adam", lr=1e-3, weight_decay=0.0, beta1=0.95,
                     beta2=0.999, max_grad_norm=8.0))
@@ -97,4 +135,5 @@ def main(pid: int, port: int) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]), int(sys.argv[2]))
+    main(int(sys.argv[1]), int(sys.argv[2]),
+         sys.argv[3] if len(sys.argv) > 3 else "train")

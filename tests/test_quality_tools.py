@@ -83,31 +83,79 @@ def test_train_profile_contains_all_three_blocks():
     assert set(prof) == {"pair", "atom", "bond", "bond_counts"}
     assert sum(prof["bond_counts"].values()) > 0
     assert "CC_2A" in prof["pair"] and "All_12A" in prof["pair"]
-    # synthetic chemistry is C/N/O/F
-    assert set(prof["atom"]) <= {6, 7, 8, 9}
+    # round-5 chemistry: C/N/O/F plus the S/P/Cl vocabulary
+    assert set(prof["atom"]) <= {6, 7, 8, 9, 15, 16, 17}
     assert prof["atom"][6] > 0
     # tree ligands with ideal geometry must reconstruct C-C single bonds
     assert any(bt[:2] in ((6, 6),) for bt in prof["bond"])
 
 
+def test_train_profile_has_aromatic_and_double_bond_rows():
+    """The widened corpus must produce aromatic order-4 and order-2 bond
+    types in the training profile — the rows the round-5 bond-JSD gate
+    compares (reference: utils/evaluation/eval_bond_length_config.py:3-13
+    spans the same aromatic types)."""
+    pool = qg.make_pool(seed=0, pool=48)
+    prof = qg.train_profile(pool, n=48)
+    orders = {bt[2] for bt in prof["bond"]}
+    assert 4 in orders, sorted(prof["bond"])
+    assert 2 in orders, sorted(prof["bond"])
+    # the dominant aromatic row is C-C|4
+    assert (6, 6, 4) in prof["bond"]
+
+
 def test_evaluate_on_train_ligands_scores_near_zero_jsd():
-    """Feeding the training ligands straight through evaluate() must produce
-    tiny JSDs vs their own profile and high stability — the fixed point the
-    trained-model gate is anchored to."""
+    """Feeding the training ligands straight through evaluate() (which now
+    drives the production cli.evaluate_diffusion.evaluate_results) must
+    produce tiny JSDs vs their own profile and high stability — the fixed
+    point the trained-model gate is anchored to."""
     pool = qg.make_pool(seed=1, pool=16)
     prof = qg.train_profile(pool, n=16)
-    lp = np.asarray(pool.ligand_pos)
-    lv = np.asarray(pool.ligand_v)
-    lm = np.asarray(pool.ligand_mask)
-    mols = [
-        {"pos": lp[i][lm[i]], "v": lv[i][lm[i]]} for i in range(16)
-    ]
+    mols = qg.corpus_mols(pool, 16)
     ev = qg.evaluate(mols, prof)
     assert ev["recon_success"] == 1.0
-    assert ev["atom_stable"] > 0.95
+    assert ev["atom_stable"] > 0.93
     assert ev["atom_type_jsd_vs_train"] < 0.1
     assert ev["bond_jsd_vs_train"] < 0.1
     assert ev["pair_jsd_vs_train"] < 0.2
+    # the corpus's own aromatic systems reconstruct to aromatic rings
+    assert ev["n_aromatic_predicted"] > 0
+    assert ev["ring_recovery"] >= 0.9
+    assert ev["n_classes"] >= 8
+
+
+def test_broken_aromatics_trip_the_gate():
+    """Deliberately-broken aromatic channels must FAIL the gate's aromatic
+    checks (VERDICT r4 #1 sanity requirement): (a) a type-channel regression
+    that stops emitting aromatic classes, (b) a geometry regression that
+    scatters the ring atoms."""
+    pool = qg.make_pool(seed=2, pool=24)
+    prof = qg.train_profile(pool, n=24)
+    mols = qg.corpus_mols(pool, 24)
+    clean = qg.evaluate(mols, prof)
+    checks_clean = qg.gate_checks(clean, clean)
+    assert checks_clean["ring_recovery"] and checks_clean["aromatics_emitted"]
+    assert checks_clean["class_coverage"]
+
+    # (a) aromatic classes silently mapped to their non-aromatic twins
+    # (6,True)->(6,False) etc: indices 2->1, 4->3, 6->5, 9->8, 11->10
+    demote = {2: 1, 4: 3, 6: 5, 9: 8, 11: 10}
+    broken_v = [
+        {"pos": m["pos"], "v": np.array([demote.get(int(x), int(x)) for x in m["v"]])}
+        for m in mols
+    ]
+    ev_a = qg.evaluate(broken_v, prof)
+    assert not qg.gate_checks(ev_a, ev_a)["aromatics_emitted"]
+
+    # (b) ring geometry destroyed (atoms jittered 1.5 A): flagged aromatic
+    # systems no longer reconstruct to rings
+    rng = np.random.default_rng(0)
+    broken_g = [
+        {"pos": m["pos"] + rng.normal(0, 1.5, m["pos"].shape), "v": m["v"]}
+        for m in mols
+    ]
+    ev_b = qg.evaluate(broken_g, prof)
+    assert not qg.gate_checks(ev_b, ev_b)["ring_recovery"]
 
 
 def test_prop_gate_dataset_signal_is_structural():
@@ -115,7 +163,7 @@ def test_prop_gate_dataset_signal_is_structural():
     is built from, and splits must be disjoint."""
     import prop_quality_gate as pq
 
-    b, y = pq.make_dataset(seed=0)
+    b, y, contacts_ret = pq.make_dataset(seed=0)
     assert y.shape == (pq.POOL + pq.TEST,)
     assert 0.8 < float(np.std(y)) < 1.3
     # rebuild the contact feature and check correlation survives the noise
@@ -129,6 +177,7 @@ def test_prop_gate_dataset_signal_is_structural():
         pp = ppos[i][pmask[i]]
         d = np.sqrt(((lp[:, None] - pp[None]) ** 2).sum(-1))
         contacts.append((d < 4.5).sum() / max(len(lp), 1))
+    np.testing.assert_allclose(contacts, contacts_ret)
     r = np.corrcoef(contacts, y)[0, 1]
     assert r > 0.4
 
@@ -136,3 +185,29 @@ def test_prop_gate_dataset_signal_is_structural():
     tb = batches[0]
     assert tb.ligand_feat.shape[-1] == 13
     assert tb.y.shape == (pq.BATCH,)
+    # kinds planted round-robin over 1..3 so the 3-way head is exercised
+    kinds = np.concatenate([np.asarray(t.kind) for t in batches])
+    assert set(np.unique(kinds)) == {1, 2, 3}
+
+
+def test_prop_gate_auroc_helper():
+    import prop_quality_gate as pq
+
+    assert pq._auroc([2, 3, 4], [0, 1, 1.5]) == 1.0
+    assert pq._auroc([0, 1], [2, 3]) == 0.0
+    assert pq._auroc([1, 1], [1, 1]) == 0.5
+
+
+def test_prop_gate_enc_batches_carry_features():
+    """make_prop_batches with enc features populates the PropBatch fields
+    the PropPredNetEnc consumes."""
+    import prop_quality_gate as pq
+
+    b, y, _ = pq.make_dataset(seed=1)
+    n = pq.POOL + pq.TEST
+    enc_graph = np.random.default_rng(0).normal(size=(n, 1)).astype(np.float32)
+    enc_node = np.zeros((n, pq.NP_ + pq.NL, 4), np.float32)
+    tb = pq.make_prop_batches(b, y, np.arange(pq.BATCH), enc_graph=enc_graph,
+                              enc_node=enc_node)[0]
+    assert tb.enc_graph_feat.shape == (pq.BATCH, 1)
+    assert tb.enc_node_feat.shape == (pq.BATCH, pq.NP_ + pq.NL, 4)

@@ -90,3 +90,76 @@ def test_pyridine_perception():
     assert is_acceptor(mol, 0)  # pyridine N accepts
     s = mol.to_smiles()
     assert s.count("n") == 1 and s.count("c") == 5
+
+
+# ---- geometric aromaticity perception (round 5) ---------------------------
+# The reference pipeline inherits OpenBabel's geometry-based aromatization
+# (reference: utils/reconstruct.py:474-509); without flags, planar rings at
+# delocalized bond lengths must come back aromatic.
+
+
+def _hexagon(r):
+    t = np.linspace(0, 2 * np.pi, 7)[:-1]
+    return np.stack([r * np.cos(t), r * np.sin(t), np.zeros(6)], axis=1)
+
+
+def test_geometric_benzene_no_flags():
+    """Benzene at the delocalized 1.39 A geometry, NO aromatic flags:
+    perceived aromatic from planarity + bond-length windows."""
+    mol = reconstruct_from_generated(_hexagon(1.39), [6] * 6)
+    assert all(b.aromatic for b in mol.bonds)
+    for i in range(6):
+        assert sorted(b.order for b in mol.bonds_of(i)) == [1, 2]
+    assert mol.to_smiles() == "c1ccccc1"
+
+
+def test_geometric_pyridine_no_flags():
+    """Pyridine from raw geometry: the 6-ring N participates in the kekulized
+    alternation (N=C), unlike a 5-ring donor N."""
+    mol = reconstruct_from_generated(_hexagon(1.37), [7, 6, 6, 6, 6, 6])
+    assert all(a.aromatic for a in mol.atoms)
+    n_orders = sorted(b.order for b in mol.bonds_of(0))
+    assert n_orders == [1, 2], n_orders
+    s = mol.to_smiles()
+    assert s.count("n") == 1 and s.count("c") == 5
+
+
+def test_geometric_thiophene_no_flags():
+    """Thiophene: unequal C-S (1.71) / C-C (1.39) ring sides, perceived
+    aromatic; the S stays a 2-valent donor (no S=C kekulized)."""
+    from targetdiff_tpu.data.synth import _ring_coords
+
+    lens = np.array([1.71, 1.39, 1.42, 1.39, 1.71])
+    pos = _ring_coords(lens)
+    mol = reconstruct_from_generated(pos, [16, 6, 6, 6, 6])
+    assert all(a.aromatic for a in mol.atoms)
+    assert all(b.order == 1 for b in mol.bonds_of(0))  # S keeps singles
+
+
+def test_geometric_furan_and_pyrrole_no_flags():
+    from targetdiff_tpu.data.synth import _ring_coords
+
+    for z0, l_het in ((8, 1.36), (7, 1.37)):
+        lens = np.array([l_het, 1.38, 1.42, 1.38, l_het])
+        mol = reconstruct_from_generated(_ring_coords(lens), [z0, 6, 6, 6, 6])
+        assert all(a.aromatic for a in mol.atoms), z0
+        assert all(b.order == 1 for b in mol.bonds_of(0)), z0  # donor heteroatom
+
+
+def test_geometric_negative_cyclohexane():
+    """Planar-projected cyclohexane at single-bond 1.54 A: NOT aromatic
+    (lengths outside every window)."""
+    mol = reconstruct_from_generated(_hexagon(1.54), [6] * 6)
+    assert not any(b.aromatic for b in mol.bonds)
+
+
+def test_geometric_negative_puckered_ring():
+    """A ring at aromatic-ish lengths but strongly puckered: planarity
+    rejection."""
+    pos = _hexagon(1.39)
+    pos[:, 2] = np.array([0.35, -0.35, 0.35, -0.35, 0.35, -0.35])
+    # re-scale so bond lengths land back in the aromatic window
+    d = np.linalg.norm(pos[0] - pos[1])
+    pos *= 1.39 / d
+    mol = reconstruct_from_generated(pos, [6] * 6)
+    assert not any(b.aromatic for b in mol.bonds)

@@ -9,6 +9,10 @@ weights four ways and evaluates each with the metrics pipeline:
                      TRUNCATION (molopt_score_model.py:649)
   ddim-100 (eta 0)   strided over the full schedule, 10x fewer NFE
   ddim-50  (eta 0)   20x fewer NFE
+  dpm2-50 / dpm2-25  Heun / DPM-Solver-2 second-order correction of the
+                     ddim jump (2 NFE per step -> ~100 / ~50 NFE), the
+                     standard fix for first-order DDIM's low-NFE
+                     stability loss (VERDICT r4 #3)
 
 Prints a table + writes ddim_eval.json. The claim under test: strided
 DDIM at 100 steps holds quality near ddpm-1000 while the reference's
@@ -54,6 +58,11 @@ def main():
                               ddim_spacing="quadratic")),
         ("ddim-100-quad-eta1", dict(num_steps=100, sampler="ddim", eta=1.0,
                                     ddim_spacing="quadratic")),
+        # second-order rows: NFE ~ 2 x num_steps (Heun correction)
+        ("dpm2-50", dict(num_steps=50, sampler="dpm2", eta=0.0)),
+        ("dpm2-50-quad", dict(num_steps=50, sampler="dpm2", eta=0.0,
+                              ddim_spacing="quadratic")),
+        ("dpm2-25", dict(num_steps=25, sampler="dpm2", eta=0.0)),
     ]
     report = {}
     for name, kw in configs:

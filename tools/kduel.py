@@ -1,13 +1,19 @@
 """Same-process duel of block_denoiser configurations (the chip drifts
 10-100% between sessions — only same-process comparisons are valid).
 
-Usage: python tools/kduel.py [NPRO] [B] [reps] [lig_sigma]
+Usage: python tools/kduel.py [NPRO] [B] [reps] [lig_sigma] [SPECS]
 
 Times, in ONE process on the SAME pocket-geometry inputs:
   all-dirty   flags = ones (v8-equivalent work)
   flags       real compute_tile_flags + need_full_h=False (v9 sampling mode)
 and prints the delta. lig_sigma adds Gaussian noise to ligand positions
 (mimics mid-diffusion states where more tiles are dirty).
+
+SPECS (optional): comma-separated extra v9 rows "TILE/RTILE", e.g.
+`python tools/kduel.py 512 100 10 0 136/136,32/136` duels the 512-atom
+class's two feasible x2h tiles (N=544 divides only by 32 and 136 in the
+8-aligned <=136 range). TILE/RTILE must divide N=NPRO+32 or pick_tile
+falls back to its largest feasible divisor.
 """
 
 import os
@@ -42,14 +48,18 @@ def main():
     from __graft_entry__ import _flagship
     from _geom import kernel_inputs
 
-    NPRO = int(sys.argv[1]) if len(sys.argv) > 1 else 384
+    # NPRO accepts the pocketbench "VALID@PAD" syntax, e.g. 448@512
+    spec1 = sys.argv[1] if len(sys.argv) > 1 else "384"
+    npro_s, _, pad_s = spec1.partition("@")
+    NPRO = int(npro_s)
+    NPP = int(pad_s) if pad_s else NPRO
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     lig_sigma = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
     NL, K, H, L, heads, tile = 32, 32, 128, 9, 16, 104
-    N = NPRO + NL
+    N = NPP + NL
 
-    model, b = _flagship(num_timesteps=1000, max_protein=NPRO, max_ligand=NL, batch=2)
+    model, b = _flagship(num_timesteps=1000, max_protein=NPP, max_ligand=NL, batch=2)
     params = model.init(jax.random.PRNGKey(0), b)
     ew_p, block_p = extract_block_params(
         params["params"]["refine_net"], L, H, 20, dtype=jnp.bfloat16
@@ -57,7 +67,8 @@ def main():
     offsets, coeff = gaussian_smearing_offsets(0.0, 10.0, 20)
 
     h, x, idx, nmask, mlig, flags = kernel_inputs(
-        "pocket", B, NPRO, NL, K, H, lig_sigma=lig_sigma
+        "pocket", B, NPRO, NL, K, H, lig_sigma=lig_sigma,
+        npro_pad=NPP if NPP != NPRO else None,
     )
     h = jnp.asarray(h).astype(jnp.bfloat16)
     x, idx = jnp.asarray(x), jnp.asarray(idx)
@@ -65,32 +76,45 @@ def main():
     ones = jnp.ones_like(jnp.asarray(flags))
     flags = jnp.asarray(flags)
 
-    def make(fl, nfh, rt=104):
+    def make(fl, nfh, rt=104, ti=None):
         def run(hh):
             return block_denoiser(
                 hh, x, idx, nmask, mlig, offsets, ew_p, block_p,
                 num_layers=L, n_heads=heads, coeff=coeff, dtype=jnp.bfloat16,
-                tile=tile, rtile=rt, n_ligand=NL, tile_flags=fl, need_full_h=nfh,
+                tile=ti if ti is not None else tile, rtile=rt, n_ligand=NL,
+                tile_flags=fl, need_full_h=nfh,
             )
         return run
 
+    rows = [
+        ("all-dirty", ones, True, 104, None),
+        ("flags", flags, False, 104, None),
+        ("flags-rt32", None, False, 32, None),
+    ]
+    if len(sys.argv) > 5:  # extra tile/rtile rows, e.g. "136/136,32/136"
+        for spec in sys.argv[5].split(","):
+            ti_s, _, rt_s = spec.partition("/")
+            ti_v, rt_v = int(ti_s), int(rt_s or ti_s)
+            rows.append((f"flags-t{ti_v}/r{rt_v}", None, False, rt_v, ti_v))
+
     results = {}
-    for name, fl, nfh, rt in (
-        ("all-dirty", ones, True, 104),
-        ("flags", flags, False, 104),
-        ("flags-rt32", None, False, 32),
-    ):
-        if fl is None:  # flags sized for this rtile
-            import jax.numpy as jnp2
+    for name, fl, nfh, rt, ti in rows:
+        if fl is None:  # flags sized for this tile/rtile pair
             from targetdiff_tpu.ops.pallas.block_denoiser import compute_tile_flags
-            fl = compute_tile_flags(idx, nmask, NL, rtile=rt)
-        run = make(fl, nfh, rt)
+            fl = compute_tile_flags(idx, nmask, NL,
+                                    tile=ti if ti is not None else tile,
+                                    rtile=rt)
+        run = make(fl, nfh, rt, ti)
         t0 = time.time()
-        ho, xo = run(h)
-        np.asarray(xo[0, 0, 0])
+        try:
+            ho, xo = run(h)
+            np.asarray(xo[0, 0, 0])
+        except ValueError as e:  # VMEM budget at this tile
+            print(f"{name:<16} does not fit: {e}", flush=True)
+            continue
         med = chain_time(run, h, reps)
         results[name] = med
-        print(f"{name:<10} {med:8.2f} ms/call  (compile {time.time()-t0:.0f}s)",
+        print(f"{name:<16} {med:8.2f} ms/call  (compile {time.time()-t0:.0f}s)",
               flush=True)
     best = min(v for k, v in results.items() if k != "all-dirty")
     d = results["all-dirty"] - best

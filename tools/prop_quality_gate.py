@@ -1,25 +1,48 @@
-"""Affinity-regressor quality gate: the prop model must LEARN on synthetic
-complexes with a planted structural signal.
+"""Affinity-regressor quality gate: the prop model family must LEARN on
+synthetic complexes with a planted structural signal.
 
 The reference pins its affinity numbers on PDBBind (README.md:192-194,
 RMSE 1.316 / Pearson 0.797), which is absent from this image. This gate
 provides the in-image analogue of that regression harness (reference:
-scripts/property_prediction/train_prop.py + utils/misc_prop.py metrics):
-train PropPredNet (EGNN encoder) on synthetic pocket/ligand complexes whose
-affinity is a deterministic function of STRUCTURE plus noise, and assert on
-a held-out split that
+scripts/property_prediction/train_prop.py + utils/misc_prop.py metrics).
+
+Phase 1 — supervised regressor (PropPredNet, EGNN encoder, 3-WAY Ki/Kd/IC50
+head with per-kind masking like the reference's
+scripts/property_prediction/train_prop.py:97-135): train on synthetic
+pocket/ligand complexes whose affinity is a deterministic function of
+STRUCTURE plus noise, and assert on a held-out split that
 
   * Pearson r >= 0.5  (the model finds the structural signal)
   * RMSE <= 0.85 * std(y)  (beats the best constant predictor by >= 15%)
   * trained RMSE <= 0.7 * untrained RMSE  (learning actually happened)
+  * per-kind Pearson >= 0.35 for each of Ki/Kd/IC50 (the 3-way head is
+    actually exercised: kinds are planted round-robin)
+
+Phase 2 — diffusion-derived features (VERDICT r4 #4; reference:
+models/property_pred/prop_model.py:98-205 PropPredNetEnc +
+notebooks/analyze_affinity.ipynb): train a diffusion model in-image, export
+per-complex nll through `batch_likelihood_estimation` (the exact function
+behind cli/likelihood_est_diffusion.py) and final_h hidden states through
+`fetch_embedding`, train PropPredNetEnc on ligand-feat + nll(graph) +
+final_h(node) features, and assert
+
+  * the Enc pipeline runs end-to-end on-chip and still learns
+    (enc Pearson >= 0.5)
+  * nll RANKS pose quality unsupervised: distorting the held-out ligands
+    (1 A coordinate jitter) must raise nll (AUROC >= 0.8) — the in-image
+    analogue of the reference's unsupervised nll-vs-affinity ranking.
+    The nll-vs-contact-term Pearson is REPORTED (not gated: the planted
+    contact term has no mechanistic reason to move the corpus-fit nll
+    monotonically; pose distortion does).
 
 The planted signal is learnable only by reading 3D structure: a
 contact-count term (protein atoms within 4.5 A of ligand atoms) plus a
 ligand-composition term (heteroatom fraction), standardized, plus N(0, 0.3)
 label noise (so the Bayes-optimal RMSE is ~0.3 in std units).
 
-Writes prop_quality_gate.json; exit 1 on gate failure. ~5 min on CPU or one
-v5e chip. Usage: python tools/prop_quality_gate.py [epochs] [out.json]
+Writes prop_quality_gate.json; exit 1 on gate failure. ~10 min on one v5e
+chip. Usage: python tools/prop_quality_gate.py [epochs] [out.json]
+[diffusion_steps] (diffusion_steps=0 skips phase 2, e.g. for CPU smoke).
 """
 
 import json
@@ -40,6 +63,7 @@ NP_, NL = 128, 32
 POOL, TEST = 448, 64
 BATCH = 32
 NOISE = 0.3  # label noise in std units -> Bayes RMSE floor
+ENC_H = 128  # final_h width of the flagship denoiser
 
 
 def make_dataset(seed=0):
@@ -62,21 +86,24 @@ def make_dataset(seed=0):
         pp = ppos[i][pmask[i]]
         d = np.sqrt(((lp[:, None] - pp[None]) ** 2).sum(-1))
         contacts[i] = (d < 4.5).sum() / max(len(lp), 1)
-        # vocab index 0 is carbon (add_aromatic, aromatic=False classes)
-        hetero[i] = (lv[i][lmask[i]] != 0).mean()
+        # add_aromatic vocab: carbon classes are indices 1 (aliphatic) and
+        # 2 (aromatic); everything else is a heteroatom (index 0 = H unused)
+        hetero[i] = (~np.isin(lv[i][lmask[i]], (1, 2))).mean()
     sig = (
         (contacts - contacts.mean()) / (contacts.std() + 1e-9) * 0.8
         + (hetero - hetero.mean()) / (hetero.std() + 1e-9) * 0.6
     )
     sig = (sig - sig.mean()) / (sig.std() + 1e-9)
     y = sig + np.random.default_rng(seed + 1).normal(0, NOISE, n)
-    return b, y.astype(np.float32)
+    return b, y.astype(np.float32), contacts
 
 
-def make_prop_batches(b, y, idx):
+def make_prop_batches(b, y, idx, enc_graph=None, enc_node=None):
     """PropBatch views over the synthetic ComplexBatch: protein feats as-is
-    (27-dim), ligand feats = one-hot of the atom-type vocab index."""
-    import jax
+    (27-dim), ligand feats = one-hot of the atom-type vocab index. Kinds are
+    planted round-robin by complex index (1=Ki, 2=Kd, 3=IC50) so the 3-way
+    output head's masking is exercised. With enc_graph [n,Dg] / enc_node
+    [n,N,Dn], the diffusion-feature fields are populated."""
     import jax.numpy as jnp
 
     from targetdiff_tpu.models.prop.prop_model import PropBatch
@@ -99,45 +126,29 @@ def make_prop_batches(b, y, idx):
                 ligand_feat=jnp.asarray(lfeat[sel]),
                 ligand_mask=take(b.ligand_mask),
                 y=jnp.asarray(y[sel]),
-                kind=jnp.ones((len(sel),), jnp.int32),  # all Ki
+                kind=jnp.asarray((np.asarray(sel) % 3) + 1, jnp.int32),
+                enc_graph_feat=None if enc_graph is None else jnp.asarray(enc_graph[sel]),
+                enc_node_feat=None if enc_node is None else jnp.asarray(enc_node[sel]),
             )
         )
     return out
 
 
-def main():
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 30
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "prop_quality_gate.json"
-
+def _train_eval_prop(model, batches_of, train_idx, test_idx, epochs, seed=3,
+                     log=print):
+    """Init/train/eval one prop model. `batches_of(idx)` builds PropBatches;
+    returns (untrained_scores, trained_scores, per_kind_scores)."""
     import jax
     import optax
 
     from targetdiff_tpu.config import Config
     from targetdiff_tpu.models.prop.prop_model import prop_loss_fn
     from targetdiff_tpu.utils import train as train_utils
-    from targetdiff_tpu.utils.misc_prop import get_eval_scores, get_prop_model
+    from targetdiff_tpu.utils.misc_prop import get_eval_scores
 
-    b, y = make_dataset()
-    order = np.random.default_rng(2).permutation(POOL + TEST)
-    train_idx, test_idx = order[:POOL], order[POOL:]
-    test_batches = make_prop_batches(b, y, test_idx)
-
-    # reduced flagship prop config (configs/prop/pdbbind_general_egnn.yml
-    # halved: the synthetic corpus is small and pockets are 128 atoms)
-    model_cfg = Config(
-        dict(
-            hidden_channels=128,
-            encoder=dict(
-                name="egnn", num_layers=3, hidden_dim=128, edge_dim=0,
-                num_r_gaussian=20, act_fn="relu", norm=False, knn=24,
-                cutoff=10.0,
-            ),
-        )
-    )
-    model = get_prop_model(model_cfg)
+    test_batches = batches_of(test_idx)
     key = jax.random.PRNGKey(0)
     params = model.init(key, test_batches[0])
-
     optimizer = train_utils.get_optimizer(
         Config(dict(type="adam", lr=5e-4, weight_decay=0, beta1=0.95,
                     beta2=0.999, max_grad_norm=8.0))
@@ -157,40 +168,186 @@ def main():
         return model.apply(params, batch)
 
     def eval_params(params):
-        ys, ps = [], []
+        ys, ps, kinds = [], [], []
         for tb in test_batches:
-            # PropPredNet applies the per-kind head mask internally -> [B]
+            # the model applies the per-kind head mask internally -> [B]
             ps.append(np.asarray(predict(params, tb)))
             ys.append(np.asarray(tb.y))
-        return get_eval_scores(np.concatenate(ps), np.concatenate(ys))
+            kinds.append(np.asarray(tb.kind))
+        ps, ys, kinds = map(np.concatenate, (ps, ys, kinds))
+        per_kind = {
+            {1: "Ki", 2: "Kd", 3: "IC50"}[k]: get_eval_scores(ps[kinds == k], ys[kinds == k])
+            for k in (1, 2, 3)
+            if (kinds == k).sum() >= 8
+        }
+        return get_eval_scores(ps, ys), per_kind
 
-    ev_untrained = eval_params(params)
-    rng = np.random.default_rng(3)
+    ev_untrained, _ = eval_params(params)
+    rng = np.random.default_rng(seed)
     t0 = time.time()
     for ep in range(epochs):
         perm = rng.permutation(train_idx)
         losses = []
-        for tb in make_prop_batches(b, y, perm):
+        for tb in batches_of(perm):
             key, sk = jax.random.split(key)
             params, opt_state, loss = train_step(params, opt_state, tb, sk)
             losses.append(float(loss))
         if ep % 5 == 0 or ep == epochs - 1:
-            print(f"epoch {ep}: loss {np.mean(losses):.4f} ({time.time()-t0:.0f}s)")
+            log(f"  epoch {ep}: loss {np.mean(losses):.4f} ({time.time()-t0:.0f}s)")
+    ev, per_kind = eval_params(params)
+    return ev_untrained, ev, per_kind
 
-    ev = eval_params(params)
+
+def _auroc(pos_scores, neg_scores):
+    """P(pos > neg) by rank statistic (ties get half credit)."""
+    pos = np.asarray(pos_scores, float)
+    neg = np.asarray(neg_scores, float)
+    gt = (pos[:, None] > neg[None, :]).sum()
+    eq = (pos[:, None] == neg[None, :]).sum()
+    return float((gt + 0.5 * eq) / (len(pos) * len(neg)))
+
+
+def diffusion_features(b, diff_steps, log=print):
+    """Train a diffusion model in-image and export per-complex features via
+    the PRODUCTION paths: nll from batch_likelihood_estimation (the function
+    behind cli/likelihood_est_diffusion.py) and final_h hidden states from
+    fetch_embedding. Returns (nll [n], final_h [n, NP+NL, H], distorted-nll
+    diagnostics dict)."""
+    import jax
+
+    from quality_gate import build_model, train
+    from targetdiff_tpu.cli.likelihood_est_diffusion import (
+        batch_likelihood_estimation,
+    )
+
+    model = build_model()
+    log(f"training diffusion model {diff_steps} steps for enc features...")
+    _, params, _ = train(model, b, diff_steps, log=log)
+
+    impl = "fast" if jax.default_backend() in ("tpu", "axon") else "xla"
+    T = model.num_timesteps
+    time_steps = np.linspace(0, T - 1, 10).astype(np.int64)
+    n = b.protein_pos.shape[0]
+    key = jax.random.PRNGKey(11)
+
+    nll = np.zeros(n)
+    final_h = np.zeros((n, NP_ + NL, ENC_H), np.float32)
+    for s in range(0, n, BATCH):
+        sel = np.arange(s, min(s + BATCH, n))
+        bc = jax.tree_util.tree_map(lambda x: x[np.asarray(sel)], b)
+        nll_c, _, _ = batch_likelihood_estimation(
+            model, params, bc, jax.random.fold_in(key, s), time_steps,
+            impl=impl,
+        )
+        nll[sel] = nll_c
+        emb = model.fetch_embedding(params, bc, impl=impl)
+        final_h[sel] = np.asarray(emb["final_h"], np.float32)
+    return model, params, nll, final_h
+
+
+def distortion_nll_auroc(model, params, b, test_idx, log=print, sigma=1.0):
+    """nll(distorted ligand pose) vs nll(intact): the unsupervised ranking
+    check. Returns (auroc, mean_intact, mean_distorted)."""
+    import jax
+
+    from targetdiff_tpu.cli.likelihood_est_diffusion import (
+        batch_likelihood_estimation,
+    )
+
+    impl = "fast" if jax.default_backend() in ("tpu", "axon") else "xla"
+    T = model.num_timesteps
+    time_steps = np.linspace(0, T - 1, 10).astype(np.int64)
+    idx = np.asarray(test_idx)[:BATCH]
+    bc = jax.tree_util.tree_map(lambda x: x[idx], b)
+    rng = np.random.default_rng(9)
+    import jax.numpy as jnp
+
+    jitter = rng.normal(0, sigma, np.asarray(bc.ligand_pos).shape).astype(np.float32)
+    bc_dist = bc._replace(
+        ligand_pos=bc.ligand_pos
+        + jnp.asarray(jitter) * bc.ligand_mask[..., None].astype(jnp.float32)
+    )
+    key = jax.random.PRNGKey(13)
+    nll_i, _, _ = batch_likelihood_estimation(model, params, bc, key,
+                                              time_steps, impl=impl)
+    nll_d, _, _ = batch_likelihood_estimation(model, params, bc_dist, key,
+                                              time_steps, impl=impl)
+    return _auroc(nll_d, nll_i), float(np.mean(nll_i)), float(np.mean(nll_d))
+
+
+def main():
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "prop_quality_gate.json"
+    diff_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 1500
+
+    from targetdiff_tpu.config import Config
+    from targetdiff_tpu.utils.misc_prop import get_prop_model
+
+    b, y, contacts = make_dataset()
+    order = np.random.default_rng(2).permutation(POOL + TEST)
+    train_idx, test_idx = order[:POOL], order[POOL:]
+
+    # reduced flagship prop config (configs/prop/pdbbind_general_egnn.yml
+    # halved: the synthetic corpus is small and pockets are 128 atoms)
+    enc_cfg = dict(
+        name="egnn", num_layers=3, hidden_dim=128, edge_dim=0,
+        num_r_gaussian=20, act_fn="relu", norm=False, knn=24, cutoff=10.0,
+    )
+    model_plain = get_prop_model(Config(dict(hidden_channels=128, encoder=enc_cfg)))
+
+    print("phase 1: PropPredNet (3-way Ki/Kd/IC50 head) ...")
+    ev_u, ev_t, per_kind = _train_eval_prop(
+        model_plain, lambda idx: make_prop_batches(b, y, idx),
+        train_idx, test_idx, epochs,
+    )
+
     std = float(np.std(y[test_idx]))
     report = {
-        "untrained": ev_untrained,
-        "trained": ev,
+        "untrained": ev_u,
+        "trained": ev_t,
+        "per_kind": per_kind,
         "y_std": std,
         "label_noise": NOISE,
         "epochs": epochs,
     }
     checks = {
-        "pearson": ev["pearson"] >= 0.5,
-        "beats_mean_predictor": ev["rmse"] <= 0.85 * std,
-        "learned": ev["rmse"] <= 0.7 * ev_untrained["rmse"],
+        "pearson": ev_t["pearson"] >= 0.5,
+        "beats_mean_predictor": ev_t["rmse"] <= 0.85 * std,
+        "learned": ev_t["rmse"] <= 0.7 * ev_u["rmse"],
+        "per_kind_heads": (
+            len(per_kind) == 3
+            and all(v["pearson"] >= 0.35 for v in per_kind.values())
+        ),
     }
+
+    if diff_steps > 0:
+        print("phase 2: diffusion-derived enc features ...")
+        dmodel, dparams, nll, final_h = diffusion_features(b, diff_steps)
+        nll_std = (nll - nll.mean()) / (nll.std() + 1e-9)
+        enc_graph = nll_std[:, None].astype(np.float32)
+        enc_cfg_enc = dict(enc_cfg, name="egnn_enc")
+        model_enc = get_prop_model(
+            Config(dict(hidden_channels=128, encoder=enc_cfg_enc,
+                        enc_graph_dim=1, enc_node_dim=ENC_H))
+        )
+        ev_enc_u, ev_enc, _ = _train_eval_prop(
+            model_enc,
+            lambda idx: make_prop_batches(b, y, idx, enc_graph=enc_graph,
+                                          enc_node=final_h),
+            train_idx, test_idx, epochs,
+        )
+        auroc, nll_i, nll_d = distortion_nll_auroc(dmodel, dparams, b, test_idx)
+        r_nll_contact = float(np.corrcoef(nll, contacts)[0, 1])
+        report["enc_untrained"] = ev_enc_u
+        report["enc_trained"] = ev_enc
+        report["nll_distortion_auroc"] = auroc
+        report["nll_intact_mean"] = nll_i
+        report["nll_distorted_mean"] = nll_d
+        report["nll_contact_pearson"] = r_nll_contact
+        report["diffusion_steps"] = diff_steps
+        checks["enc_pipeline_learns"] = ev_enc["pearson"] >= 0.5
+        checks["nll_ranks_pose_quality"] = auroc >= 0.8
+
     report["checks"] = checks
     print(json.dumps(report, indent=1))
     with open(out_path, "w") as f:

@@ -380,7 +380,19 @@ def fast_forward(
         if mode == "mega":
             from ..ops.pallas.block_denoiser import compute_tile_flags
 
-            flags = compute_tile_flags(nbh.idx, nbh.mask, NL)
+            # h between blocks feeds the next block in full, so the stale-
+            # protein skipping modes only apply to the LAST block
+            last_block = _b == cfg.num_blocks - 1
+            nfh = need_full_h if last_block else True
+            # v10 per-layer dependency-cone flags (sampling): exact per-layer
+            # x2h tile liveness from reverse-BFS hop distance to the ligand;
+            # the fix_x (embedding-export) path keeps v9 flags since it runs
+            # with need_full_h=True
+            per_layer = last_block and not nfh and not fix_x
+            flags = compute_tile_flags(
+                nbh.idx, nbh.mask, NL,
+                num_layers=cfg.num_layers if per_layer else None,
+            )
             if fix_x:
                 # frozen geometry: dnode stays zero, so EVERY regeo tile is
                 # exactly clean — zero the first (regeo) half of the flags
@@ -392,7 +404,7 @@ def fast_forward(
                 h, x, nbh.idx, nbh.mask, upd_mask, offsets,
                 ew_p, block_p, num_layers=cfg.num_layers, n_heads=cfg.n_heads,
                 coeff=coeff, dtype=dtype, interpret=interpret,
-                n_ligand=NL, tile_flags=flags, need_full_h=need_full_h,
+                n_ligand=NL, tile_flags=flags, need_full_h=nfh,
             )
             continue
 

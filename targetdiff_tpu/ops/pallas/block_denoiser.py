@@ -158,7 +158,7 @@ def _block_kernel(
     hbuf, xfull, dnode, lcache, ecache, e4rep, relc, ocache,
     dlig, ni, nq, olcache=None,
     *, N, H, K, L, n_heads, coeff, dtype, TI, TIR, NLIG, ablate=(),
-    need_full_h=True, train_mode=False,
+    need_full_h=True, train_mode=False, per_layer_flags=False,
 ):
     NK = N * K
     dh = H // n_heads
@@ -188,6 +188,12 @@ def _block_kernel(
     S128 = s128_ref[:]
 
     hbuf[0] = h_ref[0].astype(dtype)
+    if per_layer_flags:
+        # v10 cone skipping leaves never-live rows of the ping-pong buffer
+        # untouched across ALL layers; they still appear as zero-weighted
+        # columns of later one-hot gather dots, where an uninitialized
+        # NaN/Inf would poison 0*x. Seed both buffers finite once.
+        hbuf[1] = h_ref[0].astype(dtype)
     xfull[:, :] = x_ref[0].astype(jnp.float32)
     if train_mode:
         # per-layer checkpoints for the whole-block backward (block_vjp.py)
@@ -504,6 +510,15 @@ def _block_kernel(
 
             if need_full_h:
                 _run()
+            elif per_layer_flags:
+                # PER-LAYER CONE SKIP (v10, sampling only): tile ti's h at
+                # layer l feeds the sampled ligand outputs only if some row
+                # is within hop L-l of the ligand in the reverse kNN graph
+                # (compute_tile_flags num_layers docstring). Skipped rows go
+                # stale in the ping-pong buffer and — liveness being
+                # monotone in l — are never consumed; hout's protein rows
+                # are NOT valid in this mode (same contract as v9).
+                pl.when(flags_ref[0, 0, TR + l * T + ti] != 0)(_run)
             else:
                 # LAST-LAYER TILE SKIP (v9, sampling only): after the final
                 # x2h, protein h is consumed ONLY as h2x gather sources of
@@ -630,18 +645,34 @@ def pick_tile(N: int, tile: int = 104) -> int:
 
 
 def compute_tile_flags(idx, nbr_mask, n_ligand: int, tile: int = 104,
-                       rtile: int = 104):
-    """Per-complex, per-tile work flags for the v9 megakernel,
-    [B, TR + T] int32 (TR regeo tiles of rtile rows, T x2h tiles of `tile`).
+                       rtile: int = 104, num_layers=None):
+    """Per-complex, per-tile work flags for the v9/v10 megakernel
+    (TR regeo tiles of rtile rows, T x2h tiles of `tile` rows).
 
     First TR entries (regeo-dirty): tile has >= 1 edge touching a ligand
     atom (valid ligand source, or the tile contains ligand-destination
     rows) — only those tiles' geometry changes between layers, so only they
-    need the per-layer ecache/relc refresh. Last T entries (last-x2h-live):
+    need the per-layer ecache/relc refresh.
+
+    num_layers=None (v9, [B, TR + T]): last T entries are last-x2h-live —
     tile contains ligand rows or a valid SOURCE of a ligand-destination
-    edge — with need_full_h=False the final x2h pass skips the rest (their
-    h is consumed by nothing). Both are EXACT properties of the step's kNN
-    graph, recomputed per call; all-ones reproduces v8 behavior."""
+    edge; with need_full_h=False the final x2h pass skips the rest (their
+    h is consumed by nothing).
+
+    num_layers=L (v10, [B, TR + L*T]): PER-LAYER x2h liveness from the
+    DEPENDENCY CONE of the sampling outputs. Only ligand h/x are consumed,
+    so h_d after layer l matters iff d reaches the ligand within the
+    remaining layers through the reverse kNN graph: with hop(d) = reverse-
+    BFS distance to the ligand tail (ligand rows 0; s gets 1+min hop of any
+    valid edge destination d with s in src(d)), tile ti is live at layer l
+    iff min hop over its rows <= L - l. l = L-1 gives hop <= 1, exactly the
+    v9 last-layer rule; earlier layers widen the cone by one hop each.
+    Rows outside the cone go stale in the ping-pong h buffer and are, by
+    the same recursion, never consumed (tests/test_block_flags.py asserts
+    ligand outputs bit-identical to all-dirty).
+
+    All flags are EXACT properties of the step's kNN graph, recomputed per
+    call; all-ones reproduces v8 behavior."""
     B, N, K = idx.shape
     TI = pick_tile(N, tile)
     T = N // TI
@@ -652,15 +683,30 @@ def compute_tile_flags(idx, nbr_mask, n_ligand: int, tile: int = 104,
     row_lig = (jnp.arange(N) >= NPAD)[None, :]
     dirty = ((idx >= NPAD) & valid).any(-1) | row_lig
     regeo_f = dirty.reshape(B, TR, TIR).any(-1)
-    lig_src = jnp.where(valid[:, NPAD:, :], idx[:, NPAD:, :], 0)
-    mark = (
-        jnp.zeros((B, N), jnp.int32)
-        .at[jnp.arange(B)[:, None, None], lig_src]
-        .max(valid[:, NPAD:, :].astype(jnp.int32))
-    )
-    need = (mark > 0) | row_lig
-    lx_f = need.reshape(B, T, TI).any(-1)
-    return jnp.concatenate([regeo_f, lx_f], axis=-1).astype(jnp.int32)
+    if num_layers is None:
+        lig_src = jnp.where(valid[:, NPAD:, :], idx[:, NPAD:, :], 0)
+        mark = (
+            jnp.zeros((B, N), jnp.int32)
+            .at[jnp.arange(B)[:, None, None], lig_src]
+            .max(valid[:, NPAD:, :].astype(jnp.int32))
+        )
+        need = (mark > 0) | row_lig
+        lx_f = need.reshape(B, T, TI).any(-1)
+        return jnp.concatenate([regeo_f, lx_f], axis=-1).astype(jnp.int32)
+
+    L = int(num_layers)
+    BIG = jnp.int32(1 << 20)
+    hop = jnp.where(row_lig, 0, BIG) * jnp.ones((B, 1), jnp.int32)
+    bidx = jnp.arange(B)[:, None, None]
+    for _ in range(L):  # hop values above L never matter (dead at every l)
+        cand = jnp.where(valid, hop[:, :, None] + 1, BIG)
+        hop = hop.at[bidx, idx].min(cand)
+    tile_hop = hop.reshape(B, T, TI).min(-1)  # [B, T]
+    thresh = (L - jnp.arange(L, dtype=jnp.int32))[None, :, None]  # [1, L, 1]
+    live = tile_hop[:, None, :] <= thresh  # [B, L, T]
+    return jnp.concatenate(
+        [regeo_f, live.reshape(B, L * T)], axis=-1
+    ).astype(jnp.int32)
 
 
 @functools.partial(
@@ -711,11 +757,18 @@ def block_denoiser(
     T = N // TI
     TIR = pick_tile(N, rtile)
     TR = N // TIR
-    NF = TR + T
     R = offsets.shape[-1]
+    # the flag vector's length selects the scheme: [B, TR+T] = v9 (regeo +
+    # last-x2h), [B, TR+L*T] = v10 (regeo + PER-LAYER x2h dependency cone)
     if tile_flags is None:
-        tile_flags = jnp.ones((B, NF), jnp.int32)  # all-dirty == v8
+        tile_flags = jnp.ones((B, TR + T), jnp.int32)  # all-dirty == v8
+    per_layer_flags = tile_flags.shape[-1] == TR + num_layers * T
+    NF = TR + (num_layers * T if per_layer_flags else T)
     assert tile_flags.shape == (B, NF), (tile_flags.shape, B, NF)
+    assert not (per_layer_flags and need_full_h), (
+        "per-layer cone flags stale-protein contract requires need_full_h="
+        "False (sampling); pass v9 [B, TR+T] flags otherwise"
+    )
 
     NLIG = n_ligand
     assert NLIG <= 128, "ligand block must fit the 128-lane gather"
@@ -734,6 +787,7 @@ def block_denoiser(
         _block_kernel, N=N, H=H, K=K, L=num_layers, n_heads=n_heads,
         coeff=coeff, dtype=dtype, TI=TI, TIR=TIR, NLIG=NLIG, ablate=ablate,
         need_full_h=need_full_h, train_mode=train_mode,
+        per_layer_flags=per_layer_flags,
     )
 
     n_ew = len(EwParams._fields)

@@ -107,3 +107,121 @@ def test_skip_is_exact_for_consumed_outputs():
                     np.asarray(h_s[b, sl]), np.asarray(h_full[b, sl]),
                     atol=1e-5, rtol=1e-5,
                 )
+
+
+# ---- v10: per-layer dependency-cone flags (round 5) ------------------------
+
+
+def _line_geometry():
+    """All rows on a line, ligand block continuing the protein chain: hop
+    distance to the ligand grows ~2 rows per hop under kNN-4 (sources of d
+    are d-2..d+2), so tiles transition live->dead across layers."""
+    rng = np.random.default_rng(2)
+    x = np.zeros((B, N, 3), np.float32)
+    x[:, :, 0] = np.arange(N)[None, :] * 1.5
+    x += rng.normal(size=x.shape).astype(np.float32) * 0.01
+    nbh = G.knn_graph(jnp.asarray(x), jnp.ones((B, N), bool), K)
+    return jnp.asarray(x), nbh.idx, nbh.mask
+
+
+def _hop_bruteforce(idx_np, m_np, n_ligand, L):
+    """Reference reverse-BFS: hop(ligand)=0; a source s of a valid edge
+    into d gets hop(d)+1."""
+    Nn = idx_np.shape[0]
+    NPAD = Nn - n_ligand
+    BIG = 1 << 20
+    hop = np.where(np.arange(Nn) >= NPAD, 0, BIG)
+    for _ in range(L):
+        new = hop.copy()
+        for d in range(Nn):
+            for k in range(idx_np.shape[1]):
+                if m_np[d, k]:
+                    s = idx_np[d, k]
+                    new[s] = min(new[s], hop[d] + 1)
+        hop = new
+    return hop
+
+
+def test_per_layer_cone_flags_match_bfs():
+    L5 = 5
+    x, idx, nmask = _line_geometry()
+    flags = np.asarray(
+        compute_tile_flags(idx, nmask, NL, tile=TILE, rtile=TILE, num_layers=L5)
+    )
+    TI = pick_tile(N, TILE)
+    T = N // TI
+    assert flags.shape == (B, T + L5 * T)  # TR == T at this tile size
+    idx_np, m_np = np.asarray(idx), np.asarray(nmask)
+    for b in range(B):
+        hop = _hop_bruteforce(idx_np[b], m_np[b], NL, L5)
+        for l in range(L5):
+            for t in range(T):
+                want = int((hop[t * TI : (t + 1) * TI] <= L5 - l).any())
+                assert flags[b, T + l * T + t] == want, (b, l, t)
+        # monotone: once dead, stays dead at later layers
+        live = flags[b, T:].reshape(L5, T)
+        assert (live[1:] <= live[:-1]).all()
+    # the geometry must actually produce a live->dead transition per layer
+    live = flags[0, T:].reshape(L5, T)
+    assert live[0].sum() > live[-1].sum() >= 1
+    # layer L-1 reduces exactly to the v9 last-x2h rule
+    v9 = np.asarray(compute_tile_flags(idx, nmask, NL, tile=TILE, rtile=TILE))
+    np.testing.assert_array_equal(live[-1], v9[0, T:])
+
+
+def test_per_layer_skip_is_exact_for_ligand_outputs():
+    """v10 cone skipping vs all-dirty: the sampled outputs (ligand h, all x)
+    must match exactly; skipped protein rows are documented-stale."""
+    L5 = 5
+    x, idx, nmask = _line_geometry()
+
+    def run(flags, need_full_h):
+        model, b = _flagship(num_timesteps=10, max_protein=NPRO, max_ligand=NL, batch=2)
+        params = model.init(jax.random.PRNGKey(0), b)
+        ew_p, block_p = extract_block_params(
+            params["params"]["refine_net"], L5, H, 20, dtype=jnp.float32
+        )
+        offsets, coeff = gaussian_smearing_offsets(0.0, 10.0, 20)
+        rng = np.random.default_rng(1)
+        h = jnp.asarray(rng.normal(size=(B, N, H)).astype(np.float32))
+        mlig = jnp.asarray(np.broadcast_to(np.arange(N)[None] >= NPRO, (B, N)))
+        return block_denoiser(
+            h, x, idx, nmask, mlig, offsets, ew_p, block_p,
+            num_layers=L5, n_heads=HEADS, coeff=coeff, dtype=jnp.float32,
+            interpret=True, tile=TILE, rtile=TILE, n_ligand=NL,
+            tile_flags=flags, need_full_h=need_full_h,
+        )
+
+    h_full, x_full = run(None, True)  # all-dirty v8
+    cone = compute_tile_flags(idx, nmask, NL, tile=TILE, rtile=TILE,
+                              num_layers=L5)
+    h_c, x_c = run(cone, False)
+    np.testing.assert_allclose(np.asarray(x_c), np.asarray(x_full), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(h_c[:, NPRO:]), np.asarray(h_full[:, NPRO:]),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
+def test_per_layer_flags_rejected_with_need_full_h():
+    L5 = 5
+    x, idx, nmask = _line_geometry()
+    cone = compute_tile_flags(idx, nmask, NL, tile=TILE, rtile=TILE,
+                              num_layers=L5)
+    model, b = _flagship(num_timesteps=10, max_protein=NPRO, max_ligand=NL, batch=2)
+    params = model.init(jax.random.PRNGKey(0), b)
+    ew_p, block_p = extract_block_params(
+        params["params"]["refine_net"], L5, H, 20, dtype=jnp.float32
+    )
+    offsets, coeff = gaussian_smearing_offsets(0.0, 10.0, 20)
+    h = jnp.zeros((B, N, H), jnp.float32)
+    mlig = jnp.asarray(np.broadcast_to(np.arange(N)[None] >= NPRO, (B, N)))
+    import pytest
+
+    with pytest.raises(AssertionError):
+        block_denoiser(
+            h, x, idx, nmask, mlig, offsets, ew_p, block_p,
+            num_layers=L5, n_heads=HEADS, coeff=coeff, dtype=jnp.float32,
+            interpret=True, tile=TILE, rtile=TILE, n_ligand=NL,
+            tile_flags=cone, need_full_h=True,
+        )

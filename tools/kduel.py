@@ -91,19 +91,27 @@ def main():
         ("flags", flags, False, 104, None),
         ("flags-rt32", None, False, 32, None),
     ]
-    if len(sys.argv) > 5:  # extra tile/rtile rows, e.g. "136/136,32/136"
+    if len(sys.argv) > 5:  # extra rows: "136/136" tile/rtile, "v10", "v10@32"
         for spec in sys.argv[5].split(","):
+            if spec.startswith("v10"):  # per-layer dependency-cone flags,
+                # optionally at a forced x2h tile ("v10@32")
+                _, _, ti_s = spec.partition("@")
+                ti_v = int(ti_s) if ti_s else None
+                rows.append((f"flags-{spec}", "v10", False, 104, ti_v))
+                continue
             ti_s, _, rt_s = spec.partition("/")
             ti_v, rt_v = int(ti_s), int(rt_s or ti_s)
             rows.append((f"flags-t{ti_v}/r{rt_v}", None, False, rt_v, ti_v))
 
     results = {}
+    from targetdiff_tpu.ops.pallas.block_denoiser import compute_tile_flags
+
     for name, fl, nfh, rt, ti in rows:
-        if fl is None:  # flags sized for this tile/rtile pair
-            from targetdiff_tpu.ops.pallas.block_denoiser import compute_tile_flags
+        if fl is None or isinstance(fl, str):  # flags sized for this row
             fl = compute_tile_flags(idx, nmask, NL,
                                     tile=ti if ti is not None else tile,
-                                    rtile=rt)
+                                    rtile=rt,
+                                    num_layers=L if fl == "v10" else None)
         run = make(fl, nfh, rt, ti)
         t0 = time.time()
         try:

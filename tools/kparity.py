@@ -48,6 +48,18 @@ def main():
     x, idx = jnp.asarray(x), jnp.asarray(idx)
     nmask, mlig = jnp.asarray(nmask), jnp.asarray(mlig)
     flags_j = None if flags is None else jnp.asarray(flags)
+    v10 = len(sys.argv) > 4 and sys.argv[4] == "v10"
+    if v10:  # per-layer dependency-cone flags (round 5)
+        from targetdiff_tpu.ops.pallas.block_denoiser import compute_tile_flags
+
+        flags_j = compute_tile_flags(idx, nmask, NL, num_layers=L)
+        # protein-h spot check below uses the LAST layer's live tiles
+        TRv = N // pick_tile(N, 104)
+        Tv = N // pick_tile(N, tile)
+        flags = np.concatenate(
+            [np.asarray(flags_j)[:, :TRv],
+             np.asarray(flags_j)[:, TRv + (L - 1) * Tv:]], axis=-1,
+        )
 
     def run(interpret):
         ho, xo = block_denoiser(

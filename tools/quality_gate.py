@@ -320,22 +320,26 @@ GATES = dict(
     recon_margin=0.15,
     recon_margin_cap=0.95,
     jsd_improvement=0.05,
-    # provisional round-5 floors (to be re-pinned below the first measured
-    # trained run on the widened corpus)
+    # floors pinned below the measured 2026-08-19 round-5 run on the ring
+    # corpus (trained: mol 0.203, atom 0.905, recon 1.0; corpus self-score:
+    # mol 0.578, atom 0.963 — the aromatic order-2-threshold quirk caps
+    # both, see the note above)
     mol_stable_floor=0.15,
-    atom_stable_floor=0.65,
+    atom_stable_floor=0.80,
     recon_floor=0.90,
     # reference-eval extensions: atom-TYPE distribution JSD and
     # reconstructed bond-length JSD (now incl. order-2 + aromatic order-4
-    # rows), both vs the training corpus.
+    # rows), both vs the training corpus (measured trained: 0.001 / 0.276).
     atom_jsd_improvement=0.05,
     atom_jsd_ceiling=0.15,
-    bond_jsd_ceiling=0.40,
+    bond_jsd_ceiling=0.35,
     # round-5 aromatic-loop gates: the trained model must actually emit
     # aromatic systems (type channel) and they must reconstruct to aromatic
-    # rings through the production pipeline (geometry channel)
+    # rings through the production pipeline (geometry channel). Measured
+    # trained: 41 aromatic-predicted molecules of 128, ring recovery 0.976
+    # (untrained: 0.321).
     arom_predicted_min=10,
-    ring_recovery_floor=0.25,
+    ring_recovery_floor=0.50,
     n_classes_min=8,
 )
 

@@ -632,6 +632,16 @@ def block_denoiser_fits(N: int, K: int, H: int = 128, n_ligand: int = 32) -> boo
     return estimate_vmem_bytes(N, K, H, n_ligand) <= VMEM_SCRATCH_BUDGET
 
 
+def choose_x2h_tile(N: int, per_layer_flags: bool) -> int:
+    """Duel-justified x2h tile size (round 5, same-process kduel duels at
+    B=100 on realistic pockets): under v10 per-layer cone flags, FINER
+    tiles skip more than their loop overhead costs — TI=32 beat the v8/v9
+    optimum 104 at every class (N=416: 57.6 vs 59.7; N=544: 63.6 vs 68.3;
+    N=672: 80.4 vs 86.6 ms/call; TI=16 regressed). Without cone flags the
+    round-3 duels stand: 104."""
+    return pick_tile(N, 32 if per_layer_flags else 104)
+
+
 def pick_tile(N: int, tile: int = 104) -> int:
     """Largest 8-aligned divisor of N at most `tile` (whole-N fallback for
     small/unaligned N). Must match block_denoiser's internal choice — used
@@ -662,14 +672,17 @@ def compute_tile_flags(idx, nbr_mask, n_ligand: int, tile: int = 104,
     num_layers=L (v10, [B, TR + L*T]): PER-LAYER x2h liveness from the
     DEPENDENCY CONE of the sampling outputs. Only ligand h/x are consumed,
     so h_d after layer l matters iff d reaches the ligand within the
-    remaining layers through the reverse kNN graph: with hop(d) = reverse-
-    BFS distance to the ligand tail (ligand rows 0; s gets 1+min hop of any
-    valid edge destination d with s in src(d)), tile ti is live at layer l
-    iff min hop over its rows <= L - l. l = L-1 gives hop <= 1, exactly the
-    v9 last-layer rule; earlier layers widen the cone by one hop each.
-    Rows outside the cone go stale in the ping-pong h buffer and are, by
-    the same recursion, never consumed (tests/test_block_flags.py asserts
-    ligand outputs bit-identical to all-dirty).
+    remaining layers through the reverse kNN graph (hop(d) = reverse-BFS
+    distance to the ligand; tile live at layer l iff hop <= L - l).
+    l = L-1 gives hop <= 1, EXACTLY the v9 last-x2h row-level rule; earlier
+    layers widen the cone by one TILE-granularity sweep each — a safe
+    SUPERSET of the row-level cone (reaching any row of a tile marks the
+    whole tile), chosen because the row-level scatter-min BFS measured
+    101 ms/call at B=100/N=416 on this image's XLA scatters
+    (tools/flagbench.py) while these boolean tile sweeps are matmul-free
+    elementwise passes. Rows outside the cone go stale in the ping-pong h
+    buffer and are never consumed (tests/test_block_flags.py asserts
+    ligand outputs equal to all-dirty).
 
     All flags are EXACT properties of the step's kNN graph, recomputed per
     call; all-ones reproduces v8 behavior."""
@@ -683,27 +696,35 @@ def compute_tile_flags(idx, nbr_mask, n_ligand: int, tile: int = 104,
     row_lig = (jnp.arange(N) >= NPAD)[None, :]
     dirty = ((idx >= NPAD) & valid).any(-1) | row_lig
     regeo_f = dirty.reshape(B, TR, TIR).any(-1)
+    # v9 last-x2h rule, scatter-free: a tile is live iff it contains ligand
+    # rows or a source ROW of a ligand-destination edge — per-source-tile
+    # membership tests on the [B, NL, K] ligand edge block (XLA scatters
+    # serialize on TPU: the old .at[].max cost ~3.6 ms/call at B=100;
+    # these compares are vector passes)
+    lig_tsrc = jnp.where(valid[:, NPAD:, :], idx[:, NPAD:, :] // TI, -1)
+    src_tile = jnp.stack(
+        [(lig_tsrc == ts).any((-1, -2)) for ts in range(T)], axis=-1
+    )  # [B, T]
+    tile_has_lig = (jnp.arange(T) >= NPAD // TI)[None, :]
+    hop1 = src_tile | tile_has_lig  # == the row-level v9 rule, tile-reduced
     if num_layers is None:
-        lig_src = jnp.where(valid[:, NPAD:, :], idx[:, NPAD:, :], 0)
-        mark = (
-            jnp.zeros((B, N), jnp.int32)
-            .at[jnp.arange(B)[:, None, None], lig_src]
-            .max(valid[:, NPAD:, :].astype(jnp.int32))
-        )
-        need = (mark > 0) | row_lig
-        lx_f = need.reshape(B, T, TI).any(-1)
-        return jnp.concatenate([regeo_f, lx_f], axis=-1).astype(jnp.int32)
+        return jnp.concatenate([regeo_f, hop1], axis=-1).astype(jnp.int32)
 
     L = int(num_layers)
-    BIG = jnp.int32(1 << 20)
-    hop = jnp.where(row_lig, 0, BIG) * jnp.ones((B, 1), jnp.int32)
-    bidx = jnp.arange(B)[:, None, None]
-    for _ in range(L):  # hop values above L never matter (dead at every l)
-        cand = jnp.where(valid, hop[:, :, None] + 1, BIG)
-        hop = hop.at[bidx, idx].min(cand)
-    tile_hop = hop.reshape(B, T, TI).min(-1)  # [B, T]
-    thresh = (L - jnp.arange(L, dtype=jnp.int32))[None, :, None]  # [1, L, 1]
-    live = tile_hop[:, None, :] <= thresh  # [B, L, T]
+    # tile adjacency: adj[b, td, ts] = any valid edge in dest-tile td whose
+    # source row lies in tile ts
+    tsrc = jnp.where(valid, idx // TI, -1)  # [B, N, K]
+    adj = jnp.stack(
+        [(tsrc == ts).any(-1).reshape(B, T, TI).any(-1) for ts in range(T)],
+        axis=-1,
+    )  # [B, T, T]
+    reach = hop1
+    lives = [reach]
+    for _ in range(L - 1):  # sweep k+1: sources of any reached dest tile
+        reach = reach | (adj & reach[:, :, None]).any(1)
+        lives.append(reach)
+    # layer l consumes sweep L-l (hop <= L-l); lives[k] holds hop <= k+1
+    live = jnp.stack(lives[::-1], axis=1)  # [B, L, T]
     return jnp.concatenate(
         [regeo_f, live.reshape(B, L * T)], axis=-1
     ).astype(jnp.int32)

@@ -124,22 +124,29 @@ def _line_geometry():
     return jnp.asarray(x), nbh.idx, nbh.mask
 
 
-def _hop_bruteforce(idx_np, m_np, n_ligand, L):
-    """Reference reverse-BFS: hop(ligand)=0; a source s of a valid edge
-    into d gets hop(d)+1."""
+def _tile_live_bruteforce(idx_np, m_np, n_ligand, L, TI):
+    """Reference tile-level cone: sweep 1 = the v9 rule (tile has ligand
+    rows or a source row of a ligand-destination edge); each further sweep
+    adds source tiles of any valid edge out of a reached destination tile."""
     Nn = idx_np.shape[0]
+    T = Nn // TI
     NPAD = Nn - n_ligand
-    BIG = 1 << 20
-    hop = np.where(np.arange(Nn) >= NPAD, 0, BIG)
-    for _ in range(L):
-        new = hop.copy()
-        for d in range(Nn):
-            for k in range(idx_np.shape[1]):
-                if m_np[d, k]:
-                    s = idx_np[d, k]
-                    new[s] = min(new[s], hop[d] + 1)
-        hop = new
-    return hop
+    live = np.zeros(T, bool)
+    live[NPAD // TI :] = True
+    for d in range(NPAD, Nn):
+        for k in range(idx_np.shape[1]):
+            if m_np[d, k]:
+                live[idx_np[d, k] // TI] = True
+    adj = np.zeros((T, T), bool)
+    for d in range(Nn):
+        for k in range(idx_np.shape[1]):
+            if m_np[d, k]:
+                adj[d // TI, idx_np[d, k] // TI] = True
+    lives = [live.copy()]
+    for _ in range(L - 1):
+        r = lives[-1]
+        lives.append(r | (adj & r[:, None]).any(0))
+    return lives  # lives[k] == "hop <= k+1"
 
 
 def test_per_layer_cone_flags_match_bfs():
@@ -153,11 +160,12 @@ def test_per_layer_cone_flags_match_bfs():
     assert flags.shape == (B, T + L5 * T)  # TR == T at this tile size
     idx_np, m_np = np.asarray(idx), np.asarray(nmask)
     for b in range(B):
-        hop = _hop_bruteforce(idx_np[b], m_np[b], NL, L5)
+        lives = _tile_live_bruteforce(idx_np[b], m_np[b], NL, L5, TI)
         for l in range(L5):
-            for t in range(T):
-                want = int((hop[t * TI : (t + 1) * TI] <= L5 - l).any())
-                assert flags[b, T + l * T + t] == want, (b, l, t)
+            want = lives[L5 - 1 - l].astype(int)  # layer l: hop <= L-l
+            np.testing.assert_array_equal(
+                flags[b, T + l * T : T + (l + 1) * T], want, err_msg=f"{b},{l}"
+            )
         # monotone: once dead, stays dead at later layers
         live = flags[b, T:].reshape(L5, T)
         assert (live[1:] <= live[:-1]).all()

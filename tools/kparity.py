@@ -50,9 +50,12 @@ def main():
     flags_j = None if flags is None else jnp.asarray(flags)
     v10 = len(sys.argv) > 4 and sys.argv[4] == "v10"
     if v10:  # per-layer dependency-cone flags (round 5)
-        from targetdiff_tpu.ops.pallas.block_denoiser import compute_tile_flags
+        from targetdiff_tpu.ops.pallas.block_denoiser import (
+            choose_x2h_tile, compute_tile_flags,
+        )
 
-        flags_j = compute_tile_flags(idx, nmask, NL, num_layers=L)
+        tile = choose_x2h_tile(N, True)  # the production sampling tile
+        flags_j = compute_tile_flags(idx, nmask, NL, tile=tile, num_layers=L)
         # protein-h spot check below uses the LAST layer's live tiles
         TRv = N // pick_tile(N, 104)
         Tv = N // pick_tile(N, tile)

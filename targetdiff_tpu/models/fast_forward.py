@@ -389,11 +389,14 @@ def fast_forward(
             # the fix_x (embedding-export) path keeps v9 flags since it runs
             # with need_full_h=True
             per_layer = last_block and not nfh and not fix_x
-            from ..ops.pallas.block_denoiser import choose_x2h_tile
+            from ..ops.pallas.block_denoiser import (
+                choose_rtile, choose_x2h_tile,
+            )
 
             x2h_tile = choose_x2h_tile(h.shape[1], per_layer)
+            rtile = choose_rtile(h.shape[1], per_layer)
             flags = compute_tile_flags(
-                nbh.idx, nbh.mask, NL, tile=x2h_tile,
+                nbh.idx, nbh.mask, NL, tile=x2h_tile, rtile=rtile,
                 num_layers=cfg.num_layers if per_layer else None,
             )
             if fix_x:
@@ -407,7 +410,7 @@ def fast_forward(
                 h, x, nbh.idx, nbh.mask, upd_mask, offsets,
                 ew_p, block_p, num_layers=cfg.num_layers, n_heads=cfg.n_heads,
                 coeff=coeff, dtype=dtype, interpret=interpret, tile=x2h_tile,
-                n_ligand=NL, tile_flags=flags, need_full_h=nfh,
+                rtile=rtile, n_ligand=NL, tile_flags=flags, need_full_h=nfh,
             )
             continue
 

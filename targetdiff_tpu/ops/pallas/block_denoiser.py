@@ -58,6 +58,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -156,7 +157,7 @@ def _block_kernel(
     ewp: EwParams, bp: BlockParams,
     hout_ref, xout_ref, hck_ref, xck_ref,
     hbuf, xfull, dnode, lcache, ecache, e4rep, relc, ocache,
-    dlig, ni, nq, olcache=None,
+    dlig, ni, nq, xhl_s, olcache=None,
     *, N, H, K, L, n_heads, coeff, dtype, TI, TIR, NLIG, ablate=(),
     need_full_h=True, train_mode=False, per_layer_flags=False,
 ):
@@ -279,14 +280,17 @@ def _block_kernel(
             axis=1,
         )
         e4rep[erows, :] = e4r.astype(dtype)
-        x_cur = xfull[:, :]
-        x_hi = x_cur.astype(dtype)
-        x_lo = (x_cur - x_hi.astype(jnp.float32)).astype(dtype)
-        xhl = jnp.concatenate(
-            [x_hi, jnp.zeros((N, 5), dtype), x_lo, jnp.zeros((N, 5), dtype)]
-            * 8, 1
-        )  # [N,128]: hi|lo halves tiled to full lane width (narrow-output
-        # gather dots run the MXU at ~12% utilization)
+        if "xhlper" in ablate:  # pre-v10.1: rebuild the tile-invariant
+            # hi|lo operand in every tile (duel stand-in)
+            x_cur = xfull[:, :]
+            x_hi = x_cur.astype(dtype)
+            x_lo = (x_cur - x_hi.astype(jnp.float32)).astype(dtype)
+            xhl = jnp.concatenate(
+                [x_hi, jnp.zeros((N, 5), dtype), x_lo, jnp.zeros((N, 5), dtype)]
+                * 8, 1
+            )
+        else:
+            xhl = xhl_s[:, :]
         xj2 = jnp.dot(oh, xhl, preferred_element_type=jnp.float32)
         xj = xj2[:, 0:3] + xj2[:, 8:11]
         xi = jnp.broadcast_to(
@@ -328,16 +332,31 @@ def _block_kernel(
         return 0
 
     if "init" not in ablate:
+        if "xhlper" not in ablate:
+            # x is constant across init — build the [N,128] hi|lo gather
+            # operand ONCE per complex instead of once per tile (v10.1):
+            # hi|lo halves tiled to full lane width because narrow-output
+            # gather dots run the MXU at ~12% utilization
+            x_cur = xfull[:, :]
+            x_hi = x_cur.astype(dtype)
+            x_lo = (x_cur - x_hi.astype(jnp.float32)).astype(dtype)
+            xhl_s[:, :] = jnp.concatenate(
+                [x_hi, jnp.zeros((N, 5), dtype), x_lo, jnp.zeros((N, 5), dtype)]
+                * 8, 1
+            )
         jax.lax.fori_loop(0, T, init_tile, 0, unroll=False)
 
-    def stage_node(h_all, w1iq, b1q, qlns, qlnb, qw2, qb2):
-        """Destination-side node precomputes in ONE [N, 3H] first dot:
+    def stage_node(h_in, w1iq, b1q, qlns, qlnb, qw2, qb2, rows=None):
+        """Destination-side node precomputes in ONE [rows, 3H] first dot:
         ni = h @ w1i_kv + b1 (k|v halves) and the query MLP's first layer
-        (last H lanes), then the query LN + second matmul."""
-        z3 = jnp.dot(h_all, w1iq, preferred_element_type=jnp.float32) + b1q
-        ni[:, :] = z3[:, : 2 * H]
+        (last H lanes), then the query LN + second matmul. rows=None writes
+        all N rows (pass A); pass B stages only the ligand tail — h2x reads
+        nothing else (v10.1, saves a [N,3H] dot + LN per layer)."""
+        sl = slice(None) if rows is None else rows
+        z3 = jnp.dot(h_in, w1iq, preferred_element_type=jnp.float32) + b1q
+        ni[sl, :] = z3[:, : 2 * H]
         z = _ln_relu(z3[:, 2 * H :], qlns, qlnb, out_dtype=dtype, mode=ln_mode)
-        nq[:, :] = jnp.dot(z, qw2, preferred_element_type=jnp.float32) + qb2
+        nq[sl, :] = jnp.dot(z, qw2, preferred_element_type=jnp.float32) + qb2
 
     def edge_mlp_kv(hj, feat, hi_kv_rep, w1er, w1j,
                     lns, lnb, w2_k, b2_k, w2_v, b2_v):
@@ -425,13 +444,19 @@ def _block_kernel(
             dlig[0:NLIG, 0:3] = d_hi.astype(jnp.float32)
             dlig[0:NLIG, 8:11] = d_lo.astype(jnp.float32)
 
+            # v10.1: per-layer regeo flags fold the dependency cone into the
+            # dirty rule (compute_tile_flags docstring) — a tile none of
+            # whose x2h consumers is live at layer l skips its refresh, and
+            # by monotone liveness is never refreshed or consumed again
+            rbase = l * TR if per_layer_flags else 0
+
             def regeo_tile(ti, _, with_di):
                 # DIRTY-TILE SKIP (v9): a tile whose edges involve NO ligand
                 # atom (src or dst) has unchanged geometry — its ecache/relc
                 # from init stay exact for the whole block. Flags come from
                 # compute_tile_flags (per step, per complex) via SMEM; the
                 # all-ones default reproduces v8 behavior.
-                @pl.when(flags_ref[0, 0, ti] != 0)
+                @pl.when(flags_ref[0, 0, rbase + ti] != 0)
                 def _dirty():
                     rows = pl.ds(ti * TIR, TIR)
                     erows = pl.ds(ti * TNKR, TNKR)
@@ -518,7 +543,7 @@ def _block_kernel(
                 # stale in the ping-pong buffer and — liveness being
                 # monotone in l — are never consumed; hout's protein rows
                 # are NOT valid in this mode (same contract as v9).
-                pl.when(flags_ref[0, 0, TR + l * T + ti] != 0)(_run)
+                pl.when(flags_ref[0, 0, L * TR + l * T + ti] != 0)(_run)
             else:
                 # LAST-LAYER TILE SKIP (v9, sampling only): after the final
                 # x2h, protein h is consumed ONLY as h2x gather sources of
@@ -545,10 +570,14 @@ def _block_kernel(
         # runs on just the last NLIG rows' LK = NLIG*K edges.
         if "h2x" in ablate:
             return 0
-        stage_node(hbuf[dst], bp.x_w1iq[l], bp.x_b1q[l],
-                   bp.xq_lns[l], bp.xq_lnb[l], bp.xq_w2[l], bp.xq_b2[l])
-
         lrows = pl.ds(NPAD, NLIG)
+        if "bstagefull" in ablate:  # duel stand-in: the pre-v10.1 full-N stage
+            stage_node(hbuf[dst], bp.x_w1iq[l], bp.x_b1q[l],
+                       bp.xq_lns[l], bp.xq_lnb[l], bp.xq_w2[l], bp.xq_b2[l])
+        else:
+            stage_node(hbuf[dst, lrows, :], bp.x_w1iq[l], bp.x_b1q[l],
+                       bp.xq_lns[l], bp.xq_lnb[l], bp.xq_w2[l], bp.xq_b2[l],
+                       rows=lrows)
         lerows = pl.ds(NPAD * K, LK)
         hj = jnp.dot(
             ocache[lerows, :], hbuf[dst], preferred_element_type=jnp.float32
@@ -620,6 +649,7 @@ def estimate_vmem_bytes(N: int, K: int, H: int = 128, n_ligand: int = 32) -> int
         + 128 * 16 * 4  # dlig
         + N * 2 * H * 4  # ni f32
         + N * H * 4  # nq f32
+        + N * 128 * 2  # xhl_s bf16
     )
 
 
@@ -630,6 +660,20 @@ VMEM_SCRATCH_BUDGET = 72 * 1024 * 1024
 
 def block_denoiser_fits(N: int, K: int, H: int = 128, n_ligand: int = 32) -> bool:
     return estimate_vmem_bytes(N, K, H, n_ligand) <= VMEM_SCRATCH_BUDGET
+
+
+def choose_rtile(N: int, per_layer_flags: bool) -> int:
+    """Duel-justified regeo tile size (round 5, same-process kduel at B=100
+    on realistic pockets): under the v10.1 regeo-cone flags, finer regeo
+    tiles pay only once the tile count is large enough for the cone to
+    resolve — rt32 beat rt96 at N=672 (75.35 vs 76.10 ms/call) but LOST to
+    rt104 at N=416 (55.73 vs 55.02), where 4 coarse tiles already skip
+    cleanly. N=544 divides to 32 either way. Without cone flags the
+    round-4 verdict stands (rt104)."""
+    TIR = pick_tile(N, 104)
+    if per_layer_flags and N // TIR >= 7:
+        return pick_tile(N, 32)
+    return TIR
 
 
 def choose_x2h_tile(N: int, per_layer_flags: bool) -> int:
@@ -647,6 +691,9 @@ def pick_tile(N: int, tile: int = 104) -> int:
     small/unaligned N). Must match block_denoiser's internal choice — used
     by compute_tile_flags to size the per-tile flag vector."""
     TI = min(tile, N)
+    if TI >= 8:
+        TI -= TI % 8  # align the start, else the -8 walk never hits an
+        # 8-aligned value (pick_tile(416, 52) walked down to 4)
     while TI > 8 and (N % TI or TI % 8):
         TI -= 8
     if N % TI:
@@ -669,20 +716,28 @@ def compute_tile_flags(idx, nbr_mask, n_ligand: int, tile: int = 104,
     edge; with need_full_h=False the final x2h pass skips the rest (their
     h is consumed by nothing).
 
-    num_layers=L (v10, [B, TR + L*T]): PER-LAYER x2h liveness from the
-    DEPENDENCY CONE of the sampling outputs. Only ligand h/x are consumed,
-    so h_d after layer l matters iff d reaches the ligand within the
-    remaining layers through the reverse kNN graph (hop(d) = reverse-BFS
-    distance to the ligand; tile live at layer l iff hop <= L - l).
-    l = L-1 gives hop <= 1, EXACTLY the v9 last-x2h row-level rule; earlier
-    layers widen the cone by one TILE-granularity sweep each — a safe
-    SUPERSET of the row-level cone (reaching any row of a tile marks the
-    whole tile), chosen because the row-level scatter-min BFS measured
-    101 ms/call at B=100/N=416 on this image's XLA scatters
-    (tools/flagbench.py) while these boolean tile sweeps are matmul-free
-    elementwise passes. Rows outside the cone go stale in the ping-pong h
-    buffer and are never consumed (tests/test_block_flags.py asserts
-    ligand outputs equal to all-dirty).
+    num_layers=L (v10, [B, L*TR + L*T], both blocks layer-major): PER-LAYER
+    liveness from the DEPENDENCY CONE of the sampling outputs. Only ligand
+    h/x are consumed, so h_d after layer l matters iff d reaches the ligand
+    within the remaining layers through the reverse kNN graph (hop(d) =
+    reverse-BFS distance to the ligand; tile live at layer l iff
+    hop <= L - l). l = L-1 gives hop <= 1, EXACTLY the v9 last-x2h
+    row-level rule; earlier layers widen the cone by one TILE-granularity
+    sweep each — a safe SUPERSET of the row-level cone (reaching any row
+    of a tile marks the whole tile), chosen because the row-level
+    scatter-min BFS measured 101 ms/call at B=100/N=416 on this image's
+    XLA scatters (tools/flagbench.py) while these boolean tile sweeps are
+    matmul-free elementwise passes. Rows outside the cone go stale in the
+    ping-pong h buffer and are never consumed (tests/test_block_flags.py
+    asserts ligand outputs equal to all-dirty).
+
+    The first L*TR block intersects the dirty-regeo rule with the SAME
+    cone, at regeo granularity (v10.1): the layer-l geometry refresh of
+    regeo tile tr is consumed only by the x2h passes of live tiles sharing
+    rows with tr (h2x reads only ligand-tail rows, whose tiles are live at
+    every layer by hop = 0) — and liveness being monotone in l, a tile
+    skipped at layer l is never refreshed or consumed again, so the skip
+    is exact.
 
     All flags are EXACT properties of the step's kNN graph, recomputed per
     call; all-ones reproduces v8 behavior."""
@@ -725,8 +780,16 @@ def compute_tile_flags(idx, nbr_mask, n_ligand: int, tile: int = 104,
         lives.append(reach)
     # layer l consumes sweep L-l (hop <= L-l); lives[k] holds hop <= k+1
     live = jnp.stack(lives[::-1], axis=1)  # [B, L, T]
+    # regeo x cone (v10.1): dirty AND some overlapping x2h tile live at l.
+    # The overlap map is static (TIR and TI need not nest, e.g. 104 vs 32).
+    ov = np.zeros((T, TR), bool)
+    for t in range(T):
+        for tr in range(TR):
+            ov[t, tr] = (t * TI < (tr + 1) * TIR) and ((t + 1) * TI > tr * TIR)
+    xlive_r = (live[:, :, :, None] & jnp.asarray(ov)[None, None]).any(2)
+    regeo_live = regeo_f[:, None, :] & xlive_r  # [B, L, TR]
     return jnp.concatenate(
-        [regeo_f, live.reshape(B, L * T)], axis=-1
+        [regeo_live.reshape(B, L * TR), live.reshape(B, L * T)], axis=-1
     ).astype(jnp.int32)
 
 
@@ -780,11 +843,13 @@ def block_denoiser(
     TR = N // TIR
     R = offsets.shape[-1]
     # the flag vector's length selects the scheme: [B, TR+T] = v9 (regeo +
-    # last-x2h), [B, TR+L*T] = v10 (regeo + PER-LAYER x2h dependency cone)
+    # last-x2h), [B, L*(TR+T)] = v10 (PER-LAYER regeo-cone + x2h cone)
     if tile_flags is None:
         tile_flags = jnp.ones((B, TR + T), jnp.int32)  # all-dirty == v8
-    per_layer_flags = tile_flags.shape[-1] == TR + num_layers * T
-    NF = TR + (num_layers * T if per_layer_flags else T)
+    per_layer_flags = (
+        num_layers > 1 and tile_flags.shape[-1] == num_layers * (TR + T)
+    )
+    NF = num_layers * (TR + T) if per_layer_flags else TR + T
     assert tile_flags.shape == (B, NF), (tile_flags.shape, B, NF)
     assert not (per_layer_flags and need_full_h), (
         "per-layer cone flags stale-protein contract requires need_full_h="
@@ -902,6 +967,7 @@ def block_denoiser(
             pltpu.VMEM((128, 16), jnp.float32),  # dlig
             pltpu.VMEM((N, 2 * H), jnp.float32),  # ni
             pltpu.VMEM((N, H), jnp.float32),  # nq
+            pltpu.VMEM((N, 128), dtype),  # xhl_s: hi|lo gather operand
         ]
         + ([pltpu.VMEM((N * K, 128), dtype)]  # olcache (unaligned tail only)
            if _needs_olcache(N, NLIG) else []),

@@ -157,24 +157,68 @@ def test_per_layer_cone_flags_match_bfs():
     )
     TI = pick_tile(N, TILE)
     T = N // TI
-    assert flags.shape == (B, T + L5 * T)  # TR == T at this tile size
+    # v10 layout: [L*TR regeo-cone | L*T x2h cone], TR == T at this tile size
+    assert flags.shape == (B, L5 * T + L5 * T)
     idx_np, m_np = np.asarray(idx), np.asarray(nmask)
+    NPAD = N - NL
     for b in range(B):
         lives = _tile_live_bruteforce(idx_np[b], m_np[b], NL, L5, TI)
+        dirty_row = ((idx_np[b] >= NPAD) & m_np[b]).any(-1) | (
+            np.arange(N) >= NPAD
+        )
+        dirty = dirty_row.reshape(T, TI).any(-1)
         for l in range(L5):
             want = lives[L5 - 1 - l].astype(int)  # layer l: hop <= L-l
             np.testing.assert_array_equal(
-                flags[b, T + l * T : T + (l + 1) * T], want, err_msg=f"{b},{l}"
+                flags[b, L5 * T + l * T : L5 * T + (l + 1) * T], want,
+                err_msg=f"x2h {b},{l}",
+            )
+            # regeo block = dirty AND cone-live (overlap is identity here)
+            np.testing.assert_array_equal(
+                flags[b, l * T : (l + 1) * T],
+                (dirty & lives[L5 - 1 - l]).astype(int),
+                err_msg=f"regeo {b},{l}",
             )
         # monotone: once dead, stays dead at later layers
-        live = flags[b, T:].reshape(L5, T)
+        live = flags[b, L5 * T:].reshape(L5, T)
         assert (live[1:] <= live[:-1]).all()
     # the geometry must actually produce a live->dead transition per layer
-    live = flags[0, T:].reshape(L5, T)
+    live = flags[0, L5 * T:].reshape(L5, T)
     assert live[0].sum() > live[-1].sum() >= 1
     # layer L-1 reduces exactly to the v9 last-x2h rule
     v9 = np.asarray(compute_tile_flags(idx, nmask, NL, tile=TILE, rtile=TILE))
     np.testing.assert_array_equal(live[-1], v9[0, T:])
+
+
+def test_regeo_cone_mixed_granularity():
+    """TIR != TI (e.g. production 104 vs 32): the regeo-cone must OR over
+    every x2h tile sharing rows with the regeo tile."""
+    L5 = 4
+    x, idx, nmask = _line_geometry()
+    TIR2 = 2 * TILE
+    flags = np.asarray(
+        compute_tile_flags(idx, nmask, NL, tile=TILE, rtile=TIR2,
+                           num_layers=L5)
+    )
+    TI = pick_tile(N, TILE)
+    T = N // TI
+    TR = N // pick_tile(N, TIR2)
+    assert flags.shape == (B, L5 * TR + L5 * T)
+    idx_np, m_np = np.asarray(idx), np.asarray(nmask)
+    NPAD = N - NL
+    for b in range(B):
+        lives = _tile_live_bruteforce(idx_np[b], m_np[b], NL, L5, TI)
+        dirty_row = ((idx_np[b] >= NPAD) & m_np[b]).any(-1) | (
+            np.arange(N) >= NPAD
+        )
+        dirty_r = dirty_row.reshape(TR, N // TR).any(-1)
+        ratio = T // TR
+        for l in range(L5):
+            xl = lives[L5 - 1 - l].reshape(TR, ratio).any(-1)
+            np.testing.assert_array_equal(
+                flags[b, l * TR : (l + 1) * TR],
+                (dirty_r & xl).astype(int), err_msg=f"{b},{l}",
+            )
 
 
 def test_per_layer_skip_is_exact_for_ligand_outputs():

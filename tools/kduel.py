@@ -76,43 +76,66 @@ def main():
     ones = jnp.ones_like(jnp.asarray(flags))
     flags = jnp.asarray(flags)
 
-    def make(fl, nfh, rt=104, ti=None):
+    def make(fl, nfh, rt=104, ti=None, ab=()):
         def run(hh):
             return block_denoiser(
                 hh, x, idx, nmask, mlig, offsets, ew_p, block_p,
                 num_layers=L, n_heads=heads, coeff=coeff, dtype=jnp.bfloat16,
                 tile=ti if ti is not None else tile, rtile=rt, n_ligand=NL,
-                tile_flags=fl, need_full_h=nfh,
+                tile_flags=fl, need_full_h=nfh, ablate=ab,
             )
         return run
 
     rows = [
-        ("all-dirty", ones, True, 104, None),
-        ("flags", flags, False, 104, None),
-        ("flags-rt32", None, False, 32, None),
+        ("all-dirty", ones, True, 104, None, ()),
+        ("flags", flags, False, 104, None, ()),
+        ("flags-rt32", None, False, 32, None, ()),
     ]
     if len(sys.argv) > 5:  # extra rows: "136/136" tile/rtile, "v10", "v10@32"
-        for spec in sys.argv[5].split(","):
-            if spec.startswith("v10"):  # per-layer dependency-cone flags,
-                # optionally at a forced x2h tile ("v10@32")
-                _, _, ti_s = spec.partition("@")
-                ti_v = int(ti_s) if ti_s else None
-                rows.append((f"flags-{spec}", "v10", False, 104, ti_v))
+        specs = sys.argv[5]
+        if specs.startswith("only:"):  # skip the 3 default rows (3 compiles)
+            rows = []
+            specs = specs[5:]
+        for spec in specs.split(","):
+            # any row accepts "+abl1+abl2" ablate suffixes (duel stand-ins,
+            # e.g. "v10@32+bstagefull" = the pre-v10.1 full-N pass-B stage)
+            parts = spec.split("+")
+            head, ab = parts[0], tuple(parts[1:])
+            if head.startswith("v10"):  # per-layer dependency-cone flags,
+                # optionally at forced tiles ("v10@32" x2h, "v10@32/52" x2h/
+                # regeo); "v10d" forces the regeo block back to dirty-only
+                # (pre-v10.1, for duels)
+                mode, _, ti_s = head.partition("@")
+                ti_rt = ti_s.split("/") if ti_s else []
+                ti_v = int(ti_rt[0]) if ti_rt else None
+                rt_v = int(ti_rt[1]) if len(ti_rt) > 1 else 104
+                rows.append((f"flags-{spec}", mode, False, rt_v, ti_v, ab))
                 continue
-            ti_s, _, rt_s = spec.partition("/")
+            ti_s, _, rt_s = head.partition("/")
             ti_v, rt_v = int(ti_s), int(rt_s or ti_s)
-            rows.append((f"flags-t{ti_v}/r{rt_v}", None, False, rt_v, ti_v))
+            rows.append((f"flags-t{ti_v}/r{rt_v}{''.join('+'+a for a in ab)}",
+                         None, False, rt_v, ti_v, ab))
 
     results = {}
     from targetdiff_tpu.ops.pallas.block_denoiser import compute_tile_flags
 
-    for name, fl, nfh, rt, ti in rows:
+    from targetdiff_tpu.ops.pallas.block_denoiser import pick_tile
+
+    for name, fl, nfh, rt, ti, ab in rows:
         if fl is None or isinstance(fl, str):  # flags sized for this row
+            mode = fl
+            v10 = isinstance(mode, str) and mode.startswith("v10")
             fl = compute_tile_flags(idx, nmask, NL,
                                     tile=ti if ti is not None else tile,
                                     rtile=rt,
-                                    num_layers=L if fl == "v10" else None)
-        run = make(fl, nfh, rt, ti)
+                                    num_layers=L if v10 else None)
+            if mode == "v10d":  # pre-v10.1 regeo: dirty-only, every layer
+                TRd = N // pick_tile(N, rt)
+                f9 = compute_tile_flags(idx, nmask, NL,
+                                        tile=ti if ti is not None else tile,
+                                        rtile=rt)
+                fl = fl.at[:, : L * TRd].set(jnp.tile(f9[:, :TRd], (1, L)))
+        run = make(fl, nfh, rt, ti, ab)
         t0 = time.time()
         try:
             ho, xo = run(h)
@@ -124,9 +147,11 @@ def main():
         results[name] = med
         print(f"{name:<16} {med:8.2f} ms/call  (compile {time.time()-t0:.0f}s)",
               flush=True)
-    best = min(v for k, v in results.items() if k != "all-dirty")
-    d = results["all-dirty"] - best
-    print(f"best-flags delta: {d:+.2f} ms ({100*d/results['all-dirty']:.1f}%)")
+    if "all-dirty" in results:
+        best = min(v for k, v in results.items() if k != "all-dirty")
+        d = results["all-dirty"] - best
+        print(f"best-flags delta: {d:+.2f} ms "
+              f"({100*d/results['all-dirty']:.1f}%)")
 
 
 if __name__ == "__main__":

@@ -33,7 +33,7 @@ def main():
     NPRO = int(sys.argv[1]) if len(sys.argv) > 1 else 384
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     geom = sys.argv[3] if len(sys.argv) > 3 else "pocket"
-    NL, K, H, L, heads, tile = 32, 32, 128, 9, 16, 104
+    NL, K, H, L, heads, tile, rtile = 32, 32, 128, 9, 16, 104, 104
     N = NPRO + NL
 
     model, b = _flagship(num_timesteps=1000, max_protein=NPRO, max_ligand=NL, batch=2)
@@ -51,24 +51,28 @@ def main():
     v10 = len(sys.argv) > 4 and sys.argv[4] == "v10"
     if v10:  # per-layer dependency-cone flags (round 5)
         from targetdiff_tpu.ops.pallas.block_denoiser import (
-            choose_x2h_tile, compute_tile_flags,
+            choose_rtile, choose_x2h_tile, compute_tile_flags,
         )
 
-        tile = choose_x2h_tile(N, True)  # the production sampling tile
-        flags_j = compute_tile_flags(idx, nmask, NL, tile=tile, num_layers=L)
+        tile = choose_x2h_tile(N, True)  # the production sampling tiles
+        rtile = choose_rtile(N, True)
+        flags_j = compute_tile_flags(idx, nmask, NL, tile=tile, rtile=rtile,
+                                     num_layers=L)
         # protein-h spot check below uses the LAST layer's live tiles
-        TRv = N // pick_tile(N, 104)
+        # (v10 layout: [L*TR regeo-cone | L*T x2h cone], both layer-major)
+        TRv = N // pick_tile(N, rtile)
         Tv = N // pick_tile(N, tile)
+        fj = np.asarray(flags_j)
         flags = np.concatenate(
-            [np.asarray(flags_j)[:, :TRv],
-             np.asarray(flags_j)[:, TRv + (L - 1) * Tv:]], axis=-1,
+            [fj[:, :TRv],
+             fj[:, L * TRv + (L - 1) * Tv : L * TRv + L * Tv]], axis=-1,
         )
 
     def run(interpret):
         ho, xo = block_denoiser(
             h, x, idx, nmask, mlig, offsets, ew_p, block_p,
             num_layers=L, n_heads=heads, coeff=coeff, dtype=jnp.bfloat16,
-            tile=tile, n_ligand=NL, interpret=interpret,
+            tile=tile, rtile=rtile, n_ligand=NL, interpret=interpret,
             tile_flags=flags_j, need_full_h=flags is None,
         )
         return np.asarray(ho, np.float32), np.asarray(xo)
@@ -84,7 +88,7 @@ def main():
     print(f"x rel-err {ex:.2e}  ligand-h rel-err {eh_lig:.2e}")
     bad = (ex > 2e-2) or (eh_lig > 2e-2)
     if flags is not None:
-        TR = N // pick_tile(N, 104)  # regeo tiles; layout [TR | T]
+        TR = N // pick_tile(N, rtile)  # regeo tiles; layout [TR | T]
         T = flags.shape[-1] - TR
         TI = pick_tile(N, tile)
         errs = []

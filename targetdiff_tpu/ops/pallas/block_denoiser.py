@@ -279,6 +279,13 @@ def _block_kernel(
             + [jnp.zeros((TNK, 128 - 4 * R), jnp.float32)],
             axis=1,
         )
+
+        # NOTE (round 5, measured and REJECTED): gating this store on the
+        # layer-1 regeo-cone flags (e4rep is consumed only by regeo
+        # refreshes; ~63% of 512-class tiles never refresh) ran 65.35 vs
+        # 60.50 ms/call — the pl.when around a store inside the init tile
+        # body costs ~5 ms, far more than the skipped [TNK,128] store
+        # saves. Keep it unconditional.
         e4rep[erows, :] = e4r.astype(dtype)
         if "xhlper" in ablate:  # pre-v10.1: rebuild the tile-invariant
             # hi|lo operand in every tile (duel stand-in)

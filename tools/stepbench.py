@@ -50,8 +50,14 @@ def main():
     from targetdiff_tpu.sampling import init_ligand_state
     from __graft_entry__ import _flagship
 
-    modes = sys.argv[1:] or ["full", "kernel", "knn"]
-    B, NPRO, NL = 100, 384, 32
+    args = sys.argv[1:]
+    VALID, NPRO = 330, 384
+    if args and "@" in args[0]:  # pocketbench "VALID@PAD" size syntax
+        v_s, _, p_s = args[0].partition("@")
+        VALID, NPRO = int(v_s), int(p_s)
+        args = args[1:]
+    modes = args or ["full", "kernel", "knn"]
+    B, NL = 100, 32
     N = NPRO + NL
     K, H, L, heads = 32, 128, 9, 16
 
@@ -63,7 +69,8 @@ def main():
     from targetdiff_tpu.data.synth import synth_batch
 
     b = synth_batch(rng, B, max_protein=NPRO, max_ligand=NL,
-                    n_protein_range=(330, 331), n_ligand_range=(18, 28))
+                    n_protein_range=(VALID, VALID + 1),
+                    n_ligand_range=(18, 28))
     params = model.init(jax.random.PRNGKey(0), b)
     key = jax.random.PRNGKey(1)
     init_pos, init_v = init_ligand_state(key, b, model.num_classes)

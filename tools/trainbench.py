@@ -29,9 +29,18 @@ b = b._replace(protein_mask=jnp.asarray(pmask), ligand_mask=jnp.asarray(lmask))
 opt = get_optimizer(Config(dict(type="adam", lr=1e-3, weight_decay=0.0,
                                 beta1=0.95, beta2=0.999, max_grad_norm=8.0)))
 for impl in impls:  # comma-separated impls duel in ONE process (chip drift)
+    # "<impl>16" clones the net to bf16 compute (params stay f32) — e.g.
+    # xla16 probes whether the HBM-bound XLA fallback halves with bf16
+    m_i = model
+    if impl.endswith("16"):
+        impl = impl[:-2]
+        import copy
+
+        m_i = copy.copy(model)
+        m_i.net = model.net.clone(dtype=jnp.bfloat16)
     # fresh state per impl: the jitted step donates its state buffers
-    state = create_train_state(model, opt, jax.random.PRNGKey(0), b)
-    step = make_train_step(model, opt, pos_noise_std=0.1, impl=impl)
+    state = create_train_state(m_i, opt, jax.random.PRNGKey(0), b)
+    step = make_train_step(m_i, opt, pos_noise_std=0.1, impl=impl)
     t0 = time.time()
     state, m = step(state, b, jax.random.PRNGKey(1))
     np.asarray(m["loss"])

@@ -59,6 +59,10 @@ from .edge_layer_vjp import (
 
 N_PFIELDS = len(X2HParams._fields)  # == len(H2XParams._fields) == 24
 
+# Trace-time duel toggle (tools/trainbench.py): False restores the round-4
+# all-dirty train forward (no tile flags, tile/rtile 104). Production: True.
+TRAIN_TILE_FLAGS = True
+
 
 def stack_params_2d(layer_params):
     """[per-layer NamedTuple] -> one NamedTuple of [L, a, b] arrays (1D
@@ -98,13 +102,13 @@ def _geom_ck(xck_ref, l, onehot, rows, TN, offsets, coeff, K, cd):
 
 def _block_bwd_kernel(
     # inputs
-    hck_ref, xck_ref, idx_ref, nmask_ref, etype_ref, ew_ref, mlig_ref,
-    offsets_ref, gh_ref, gx_ref, px: X2HParams, ph: H2XParams,
+    flags_ref, hck_ref, xck_ref, idx_ref, nmask_ref, etype_ref, ew_ref,
+    mlig_ref, offsets_ref, gh_ref, gx_ref, px: X2HParams, ph: H2XParams,
     # outputs
     dh0_ref, dx0_ref, dew_ref, dpx_refs, dph_refs,
     # scratch
     ocache, dhbuf, dxbuf,
-    *, N, H, K, L, n_heads, coeff, TN, NLIG, cd,
+    *, N, H, K, L, n_heads, coeff, TN, NLIG, cd, ablate=(),
 ):
     b = pl.program_id(0)
     dh = H // n_heads
@@ -258,18 +262,38 @@ def _block_bwd_kernel(
 
         jax.lax.fori_loop(0, T - T0, h2x_tile, 0, unroll=False)
 
-        # ---- x2h backward: all tiles ----
+        # ---- x2h backward: all tiles (cone-dead tiles skipped: their rows'
+        # output cotangents are identically zero — every contribution below
+        # is a product with that zero, so the skip is bit-exact; see
+        # block_layers_trainable docstring) ----
         def x2h_tile(t, _):
+            pl.when(flags_ref[0, 0, l * T + t] != 0)(
+                functools.partial(_x2h_tile_body, t)
+            )
+            return 0
+
+        def _x2h_tile_body(t):
             rows = pl.ds(t * TN, TN)
             erows = pl.ds(t * TNK, TNK)
             onehot = ocache[erows, :]
             et4, nm, ew = edge_scalars(t, 0)
-            h_all = hck_ref[0, l].astype(jnp.float32)
-            hj = _cdot(onehot, h_all, cd)
             h_tile = hck_ref[0, l, rows, :].astype(jnp.float32)
-            rel, dist, d_off, rbf = _geom_ck(
-                xck_ref, l, onehot, rows, TN, offsets, coeff, K, cd
-            )
+            if "gather" in ablate:  # timing stand-in: dest-row broadcast
+                hj = jnp.broadcast_to(
+                    h_tile[:, None, :], (TN, K, H)
+                ).reshape(TNK, H)
+            else:
+                h_all = hck_ref[0, l].astype(jnp.float32)
+                hj = _cdot(onehot, h_all, cd)
+            if "geom" in ablate:  # timing stand-in: constant geometry
+                rel = jnp.ones((TNK, 3), jnp.float32)
+                dist = jnp.ones((TNK, 1), jnp.float32)
+                d_off = jnp.ones((TNK, offsets.shape[-1]), jnp.float32)
+                rbf = jnp.ones((TNK, offsets.shape[-1]), jnp.float32)
+            else:
+                rel, dist, d_off, rbf = _geom_ck(
+                    xck_ref, l, onehot, rows, TN, offsets, coeff, K, cd
+                )
             r_feat = jnp.concatenate(
                 [rbf * et4[:, i : i + 1] for i in range(4)], axis=1
             )
@@ -280,30 +304,39 @@ def _block_bwd_kernel(
                 p.hk_w1e[l], p.hk_w1r[l], p.hk_w1j[l], p.hk_b1[l],
                 p.hk_lns[l], p.hk_lnb[l], p.hk_w2[l], p.hk_b2[l], cd=cd,
             )
-            hi_v = _cdot(h_tile, p.hv_w1i[l], cd)
-            v_pre, res_v = _edge_mlp_fwd(
-                et4, r_feat, _rep_rows(hi_v, TN, K), hj,
-                p.hv_w1e[l], p.hv_w1r[l], p.hv_w1j[l], p.hv_b1[l],
-                p.hv_lns[l], p.hv_lnb[l], p.hv_w2[l], p.hv_b2[l], cd=cd,
-            )
+            if "vbranch" in ablate:  # timing stand-in: reuse the k branch
+                v_pre, res_v = k, res_k
+            else:
+                hi_v = _cdot(h_tile, p.hv_w1i[l], cd)
+                v_pre, res_v = _edge_mlp_fwd(
+                    et4, r_feat, _rep_rows(hi_v, TN, K), hj,
+                    p.hv_w1e[l], p.hv_w1r[l], p.hv_w1j[l], p.hv_b1[l],
+                    p.hv_lns[l], p.hv_lnb[l], p.hv_w2[l], p.hv_b2[l], cd=cd,
+                )
             v = v_pre * ew
             q, res_q = _node_mlp_fwd(
                 h_tile, p.hq_w1[l], p.hq_b1[l], p.hq_lns[l], p.hq_lnb[l],
                 p.hq_w2[l], p.hq_b2[l], cd=cd,
             )
             q_rep = _rep_rows(q, TN, K)
-            alpha = _softmax_fwd(k, q_rep, nm, n_heads, dh, TN, K, S)
-            alpha128 = jnp.dot(alpha, St, preferred_element_type=jnp.float32)
-
             g = dhbuf[src, rows, :]
             dm = _rep_rows(g, TN, K)
-            dalpha128 = dm * v
-            dv = dm * alpha128
-            dalpha = jnp.dot(dalpha128, S, preferred_element_type=jnp.float32)
-            dlogits = _softmax_bwd(dalpha, alpha, TN, K, n_heads) / math.sqrt(dh)
-            dl128 = jnp.dot(dlogits, St, preferred_element_type=jnp.float32)
+            if "softmax" in ablate:  # timing stand-in: skip the whole chain
+                alpha128 = jnp.broadcast_to(nm, (TNK, H))
+                dalpha128 = dm * v
+                dv = dm * alpha128
+                dl128 = dalpha128
+                dq = _sum_rows(dl128 * k, TN, K)
+            else:
+                alpha = _softmax_fwd(k, q_rep, nm, n_heads, dh, TN, K, S)
+                alpha128 = jnp.dot(alpha, St, preferred_element_type=jnp.float32)
+                dalpha128 = dm * v
+                dv = dm * alpha128
+                dalpha = jnp.dot(dalpha128, S, preferred_element_type=jnp.float32)
+                dlogits = _softmax_bwd(dalpha, alpha, TN, K, n_heads) / math.sqrt(dh)
+                dl128 = jnp.dot(dlogits, St, preferred_element_type=jnp.float32)
+                dq = _sum_rows(dl128 * k, TN, K)
             dk = dl128 * q_rep
-            dq = _sum_rows(dl128 * k, TN, K)
             dv_pre = dv * ew
             dew2d = (dv * v_pre).sum(-1, keepdims=True)
             dew_ref[0, rows, :] = dew_ref[0, rows, :] + dew2d.reshape(TN, K)
@@ -312,10 +345,13 @@ def _block_bwd_kernel(
                 dk, res_k, et4, r_feat, hj, p.hk_w1e[l], p.hk_w1r[l],
                 p.hk_w1j[l], p.hk_lns[l], p.hk_w2[l], cd=cd,
             )
-            dr_v, dhj_v, dhi_rep_v, pg_v = _edge_mlp_bwd(
-                dv_pre, res_v, et4, r_feat, hj, p.hv_w1e[l], p.hv_w1r[l],
-                p.hv_w1j[l], p.hv_lns[l], p.hv_w2[l], cd=cd,
-            )
+            if "vbranch" in ablate:  # timing stand-in: reuse the k branch
+                dr_v, dhj_v, dhi_rep_v, pg_v = dr_k, dhj_k, dhi_rep_k, pg_k
+            else:
+                dr_v, dhj_v, dhi_rep_v, pg_v = _edge_mlp_bwd(
+                    dv_pre, res_v, et4, r_feat, hj, p.hv_w1e[l], p.hv_w1r[l],
+                    p.hv_w1j[l], p.hv_lns[l], p.hv_w2[l], cd=cd,
+                )
             dh_q, pg_q = _node_mlp_bwd(
                 dq, res_q, h_tile, p.hq_w1[l], p.hq_lns[l], p.hq_w2[l], cd=cd,
             )
@@ -340,18 +376,20 @@ def _block_bwd_kernel(
                 + _cdot(dhi_v, p.hv_w1i[l].T, cd)
             )
             dhbuf[dst, rows, :] = dhbuf[dst, rows, :] + dh_tile_total
-            dhbuf[dst] = dhbuf[dst] + _cdotg(onehot, dhj, cd)
+            if "scatter" not in ablate:
+                dhbuf[dst] = dhbuf[dst] + _cdotg(onehot, dhj, cd)
             dxbuf[dst, rows, 0:3] = dxbuf[dst, rows, 0:3] + dxi
-            dxbuf[dst, :, 0:3] = dxbuf[dst, :, 0:3] + _cdotg(onehot, dxj, cd)
+            if "scatter" not in ablate:
+                dxbuf[dst, :, 0:3] = dxbuf[dst, :, 0:3] + _cdotg(onehot, dxj, cd)
 
-            hi_grads_k = _cdotg(h_tile, dhi_k, cd)
-            pieces = [pg_k[0], pg_k[1], hi_grads_k, pg_k[2]] + list(pg_k[3:])
-            hi_grads_v = _cdotg(h_tile, dhi_v, cd)
-            pieces += [pg_v[0], pg_v[1], hi_grads_v, pg_v[2]] + list(pg_v[3:])
-            pieces += list(pg_q)
-            for r, val in zip(dpx_refs, pieces):
-                r[l] = r[l] + val
-            return 0
+            if "pgrads" not in ablate:
+                hi_grads_k = _cdotg(h_tile, dhi_k, cd)
+                pieces = [pg_k[0], pg_k[1], hi_grads_k, pg_k[2]] + list(pg_k[3:])
+                hi_grads_v = _cdotg(h_tile, dhi_v, cd)
+                pieces += [pg_v[0], pg_v[1], hi_grads_v, pg_v[2]] + list(pg_v[3:])
+                pieces += list(pg_q)
+                for r, val in zip(dpx_refs, pieces):
+                    r[l] = r[l] + val
 
         jax.lax.fori_loop(0, T, x2h_tile, 0, unroll=False)
         return 0
@@ -369,23 +407,37 @@ def _stacked_grad_shapes(sp):
 
 def _block_bwd(hs, xs, idx, nbr_mask, etype, e_w, mask_ligand, offsets,
                spx: X2HParams, sph: H2XParams, gh, gx,
-               *, n_heads, coeff, interpret, n_ligand, cd):
-    """hs [B, L+1, N, H] f32 checkpoints, xs [B, L+1, N, 3] f32."""
+               *, n_heads, coeff, interpret, n_ligand, cd, x2h_flags=None):
+    """hs [B, L+1, N, H] f32 checkpoints, xs [B, L+1, N, 3] f32.
+    x2h_flags [B, L*T] (T = N/_pick_tile(N) backward tiles): per-layer x2h
+    backward tile liveness; None = all-live (round-4 behavior)."""
     B, Lp1, N, H = hs.shape
     L = Lp1 - 1
     K = idx.shape[-1]
     TN = _pick_tile(N)
+    if x2h_flags is None:
+        x2h_flags = jnp.ones((B, L * (N // TN)), jnp.int32)
+    assert x2h_flags.shape == (B, L * (N // TN)), x2h_flags.shape
 
+    # trace-time backward phase attribution (tools/fwdbwd_probe.py):
+    # BWD_ABLATE=gather|geom|vbranch|softmax|scatter|pgrads (comma-sep)
+    # replaces that phase of the x2h backward tiles with a timing stand-in
+    # (math WRONG under ablation — measurement only, like kablate.py)
+    import os as _os
+
+    ablate = tuple(
+        a for a in _os.environ.get("BWD_ABLATE", "").split(",") if a
+    )
     kern = functools.partial(
         _block_bwd_kernel, N=N, H=H, K=K, L=L, n_heads=n_heads, coeff=coeff,
-        TN=TN, NLIG=n_ligand, cd=cd,
+        TN=TN, NLIG=n_ligand, cd=cd, ablate=ablate,
     )
 
     def wrapped(*refs):
-        regular = refs[:10]
-        px = X2HParams(*refs[10 : 10 + N_PFIELDS])
-        ph = H2XParams(*refs[10 + N_PFIELDS : 10 + 2 * N_PFIELDS])
-        outs = refs[10 + 2 * N_PFIELDS :]
+        regular = refs[:11]
+        px = X2HParams(*refs[11 : 11 + N_PFIELDS])
+        ph = H2XParams(*refs[11 + N_PFIELDS : 11 + 2 * N_PFIELDS])
+        outs = refs[11 + 2 * N_PFIELDS :]
         dh0, dx0, dew = outs[0], outs[1], outs[2]
         dpx = outs[3 : 3 + N_PFIELDS]
         dph = outs[3 + N_PFIELDS : 3 + 2 * N_PFIELDS]
@@ -393,8 +445,13 @@ def _block_bwd(hs, xs, idx, nbr_mask, etype, e_w, mask_ligand, offsets,
         kern(*regular, px, ph, dh0, dx0, dew, dpx, dph, *scratch)
 
     R = offsets.shape[-1]
+    NF = L * (N // TN)
     in_specs = (
         [
+            # per-complex flag row in SMEM (same layout trick as the forward
+            # megakernel: last two block dims equal the array's)
+            pl.BlockSpec((1, 1, NF), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Lp1, N, H), lambda b: (b, 0, 0, 0)),
             pl.BlockSpec((1, Lp1, N, 3), lambda b: (b, 0, 0, 0)),
             pl.BlockSpec((1, N, K), lambda b: (b, 0, 0)),
@@ -436,6 +493,7 @@ def _block_bwd(hs, xs, idx, nbr_mask, etype, e_w, mask_ligand, offsets,
         ],
         interpret=interpret,
     )(
+        x2h_flags.astype(jnp.int32)[:, None, :],
         hs, xs, idx.astype(jnp.int32), nbr_mask.astype(jnp.float32),
         etype.astype(jnp.int32), e_w.astype(jnp.float32),
         mask_ligand.astype(jnp.float32)[..., None], offsets.reshape(1, -1),
@@ -447,13 +505,23 @@ def _block_bwd(hs, xs, idx, nbr_mask, etype, e_w, mask_ligand, offsets,
     return dh0, dx0, dew, dspx, dsph
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
 def block_layers_trainable(h, x, idx, nbr_mask, etype, e_w, mask_ligand,
                            offsets, spx_ph, n_heads, coeff, interpret,
-                           n_ligand, dtype=jnp.float32):
+                           n_ligand, dtype=jnp.float32, need_full_h=True):
     """All L (x2h + h2x) layers with per-layer Pallas forwards and ONE fused
     whole-block Pallas backward. spx_ph = (spx, sph): X2HParams / H2XParams
-    of [L, ...]-stacked (2D-ified) f32 arrays from stack_params_2d."""
+    of [L, ...]-stacked (2D-ified) f32 arrays from stack_params_2d.
+
+    need_full_h=False (round 5): the TRAINING loss reads only ligand rows
+    (score_model loss / v_inference consume h[:, NP:]), so the sampling
+    megakernel's v10 per-layer dependency-cone tile skipping is EXACT for
+    the loss and every parameter gradient too — a protein h row whose value
+    never reaches a ligand output has identically-zero cotangent, so the
+    fused backward's recompute from its (stale-but-finite) checkpoint rows
+    contributes exact zeros. Returned h protein rows are then UNSPECIFIED;
+    callers must consume ligand rows only (use True for every block whose
+    full h feeds a next block)."""
     spx, sph = spx_ph[0], spx_ph[1]
     L = spx[0].shape[0]
     for l in range(L):
@@ -519,12 +587,15 @@ def merge_stacks(spx: X2HParams, sph: H2XParams, dtype):
 
 def _block_fwd_rule(h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets,
                     spx_ph, n_heads, coeff, interpret, n_ligand,
-                    dtype=jnp.float32):
+                    dtype=jnp.float32, need_full_h=True):
     spx, sph = spx_ph[0], spx_ph[1]
     L = spx[0].shape[0]
     B, N, H = h.shape
     K = idx.shape[-1]
-    from .block_denoiser import block_denoiser, block_denoiser_fits
+    from .block_denoiser import (
+        block_denoiser, block_denoiser_fits, choose_rtile, choose_x2h_tile,
+        compute_tile_flags,
+    )
 
     use_mega = (
         n_ligand is not None and n_ligand <= 128
@@ -536,6 +607,25 @@ def _block_fwd_rule(h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets,
         # checkpoint stacks the fused backward consumes (geometry refresh,
         # one-hot and lifts are built once per complex instead of per layer)
         ewp, bp = merge_stacks(spx, sph, dtype)
+        # v9/v10 work flags in TRAIN mode (round 5): the regeo-clean skip is
+        # bit-exact in every mode (clean tiles' geometry never changes), and
+        # with need_full_h=False the per-layer x2h dependency cone is exact
+        # for loss AND gradients (see block_layers_trainable docstring).
+        # Checkpoints stay exact where it matters: xck is exact everywhere
+        # (only always-computed ligand rows move); hck dead rows are
+        # stale-but-finite and meet only zero cotangents in the backward.
+        per_layer = not need_full_h and TRAIN_TILE_FLAGS
+        if TRAIN_TILE_FLAGS:
+            tile = choose_x2h_tile(N, per_layer)
+            rtile = choose_rtile(N, per_layer)
+            flags = compute_tile_flags(
+                idx, nbr_mask, n_ligand, tile=tile, rtile=rtile,
+                num_layers=L if per_layer else None,
+            )
+        else:  # duel baseline: round-4 all-dirty behavior
+            tile = rtile = 104
+            flags = None
+        need_full_h = need_full_h or not per_layer
         hout, xout, hck, xck = block_denoiser(
             h.astype(dtype) if dtype != jnp.float32 else h,
             x, idx, nbr_mask, mask_ligand, offsets, ewp, bp,
@@ -543,6 +633,8 @@ def _block_fwd_rule(h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets,
             dtype=jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32,
             interpret=interpret, n_ligand=n_ligand,
             ew_in=e_w, train_checkpoints=True,
+            tile=tile, rtile=rtile, tile_flags=flags,
+            need_full_h=need_full_h,
         )
         res = (hck, xck, idx, nbr_mask, etype, e_w, mask_ligand, offsets,
                spx, sph)
@@ -570,13 +662,29 @@ def _block_fwd_rule(h, x, idx, nbr_mask, etype, e_w, mask_ligand, offsets,
     return (h, x), res
 
 
-def _block_bwd_rule(n_heads, coeff, interpret, n_ligand, dtype, res, g):
+def _block_bwd_rule(n_heads, coeff, interpret, n_ligand, dtype, need_full_h,
+                    res, g):
     hs, xs, idx, nbr_mask, etype, e_w, mask_ligand, offsets, spx, sph = res
     gh, gx = g
+    x2h_flags = None
+    if not need_full_h and TRAIN_TILE_FLAGS:
+        # cone-dead x2h backward tiles carry identically-zero cotangents
+        # (loss reads only ligand rows in this mode) — skip them, at the
+        # backward's own tile granularity
+        from .block_denoiser import compute_tile_flags
+
+        N = hs.shape[2]
+        L = hs.shape[1] - 1
+        TN = _pick_tile(N)
+        TR = N // TN
+        flags = compute_tile_flags(
+            idx, nbr_mask, n_ligand, tile=TN, rtile=TN, num_layers=L
+        )
+        x2h_flags = flags[:, L * TR :]
     dh0, dx0, dew, dspx, dsph = _block_bwd(
         hs, xs, idx, nbr_mask, etype, e_w, mask_ligand, offsets, spx, sph,
         gh, gx, n_heads=n_heads, coeff=coeff, interpret=interpret,
-        n_ligand=n_ligand, cd=dtype,
+        n_ligand=n_ligand, cd=dtype, x2h_flags=x2h_flags,
     )
     return (
         dh0.astype(hs.dtype), dx0.astype(xs.dtype), _zero_cot(idx),

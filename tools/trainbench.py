@@ -29,6 +29,21 @@ b = b._replace(protein_mask=jnp.asarray(pmask), ligand_mask=jnp.asarray(lmask))
 opt = get_optimizer(Config(dict(type="adam", lr=1e-3, weight_decay=0.0,
                                 beta1=0.95, beta2=0.999, max_grad_norm=8.0)))
 for impl in impls:  # comma-separated impls duel in ONE process (chip drift)
+    label = impl
+    # round-5 train work-flag duel markers (trace-time toggles):
+    #   fast      = production (per-layer cone flags + protein sort)
+    #   fastv9    = regeo-clean flags + sort only (need_full_h stays True)
+    #   fastoff   = round-4 all-dirty baseline (no flags, no sort)
+    import targetdiff_tpu.models.fast_forward as FF
+    import targetdiff_tpu.ops.pallas.block_vjp as BV
+    if impl.startswith("fastoff"):
+        impl = "fast" + impl[len("fastoff"):]
+        FF.TRAIN_CONE_FLAGS, FF.TRAIN_SORT, BV.TRAIN_TILE_FLAGS = False, False, False
+    elif impl.startswith("fastv9"):
+        impl = "fast" + impl[len("fastv9"):]
+        FF.TRAIN_CONE_FLAGS, FF.TRAIN_SORT, BV.TRAIN_TILE_FLAGS = False, True, True
+    else:
+        FF.TRAIN_CONE_FLAGS, FF.TRAIN_SORT, BV.TRAIN_TILE_FLAGS = True, True, True
     # "<impl>16" clones the net to bf16 compute (params stay f32) — e.g.
     # xla16 probes whether the HBM-bound XLA fallback halves with bf16
     m_i = model
@@ -44,7 +59,7 @@ for impl in impls:  # comma-separated impls duel in ONE process (chip drift)
     t0 = time.time()
     state, m = step(state, b, jax.random.PRNGKey(1))
     np.asarray(m["loss"])
-    print(f"compile+first: {time.time()-t0:.1f}s  B={B} impl={impl}")
+    print(f"compile+first: {time.time()-t0:.1f}s  B={B} impl={label}")
     times = []
     for r in range(3):
         t0 = time.time()
@@ -52,5 +67,5 @@ for impl in impls:  # comma-separated impls duel in ONE process (chip drift)
             state, m = step(state, b, jax.random.fold_in(jax.random.PRNGKey(2), r * 10 + i))
         np.asarray(m["loss"])  # one sync per round of 10 chained steps
         times.append((time.time() - t0) / 10)
-    print(f"train step B={B} impl={impl}: best {min(times)*1e3:.1f} ms  "
+    print(f"train step B={B} impl={label}: best {min(times)*1e3:.1f} ms  "
           f"rounds={[f'{t*1e3:.1f}' for t in times]}  loss={float(m['loss']):.3f}")

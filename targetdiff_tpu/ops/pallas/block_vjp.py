@@ -63,6 +63,16 @@ N_PFIELDS = len(X2HParams._fields)  # == len(H2XParams._fields) == 24
 # all-dirty train forward (no tile flags, tile/rtile 104). Production: True.
 TRAIN_TILE_FLAGS = True
 
+# Round-5 backward geometry cache (mirrors the forward's ecache/regeo
+# pattern): rel|dist|r_feat|et4|nm|ew live in one [N*K, GW] VMEM scratch,
+# prefilled once per complex and refreshed per layer ONLY for regeo-dirty
+# tiles (the geometry of a tile whose edges touch no ligand atom is
+# bit-identical across layers — only ligand rows move). fwdbwd_probe
+# measured the per-layer geometry recompute at 11.0 ms of the 67.6 ms
+# backward at B=32. False restores the recompute-everywhere backward
+# (tools/trainbench.py spec 'fastnogc').
+BWD_GEOM_CACHE = True
+
 
 def stack_params_2d(layer_params):
     """[per-layer NamedTuple] -> one NamedTuple of [L, a, b] arrays (1D
@@ -107,8 +117,8 @@ def _block_bwd_kernel(
     # outputs
     dh0_ref, dx0_ref, dew_ref, dpx_refs, dph_refs,
     # scratch
-    ocache, dhbuf, dxbuf,
-    *, N, H, K, L, n_heads, coeff, TN, NLIG, cd, ablate=(),
+    ocache, dhbuf, dxbuf, *gc_scratch,
+    N, H, K, L, n_heads, coeff, TN, NLIG, cd, gc=False, ablate=(),
 ):
     b = pl.program_id(0)
     dh = H // n_heads
@@ -151,6 +161,55 @@ def _block_bwd_kernel(
         et4 = (et_t[:, :, None] == iota4).astype(jnp.float32).reshape(TNK, 4)
         return et4, nm, ew
 
+    # ---- geometry cache (BWD_GEOM_CACHE): lane layout in gcache ----
+    R = offsets.shape[-1]
+    ET0, NM0, EW0 = 4 + 4 * R, 8 + 4 * R, 9 + 4 * R
+    gcache = gc_scratch[0] if gc else None
+
+    def _store_geo(erows, rel, dist, rbf, et4):
+        gcache[erows, 0:3] = rel
+        gcache[erows, 3:4] = dist
+        gcache[erows, 4 : 4 + 4 * R] = jnp.concatenate(
+            [rbf * et4[:, i : i + 1] for i in range(4)], axis=1
+        )
+
+    def _load_geo(erows):
+        """(et4, nm, ew, rel, dist, d_off, rbf, r_feat) from gcache.
+        rbf = sum of the 4 one-hot-partitioned r_feat blocks (exact:
+        et4 rows are one-hot so exactly one block is rbf, the rest 0);
+        d_off = dist - offsets, the same expression _geom_ck uses."""
+        et4 = gcache[erows, ET0 : ET0 + 4]
+        nm = gcache[erows, NM0 : NM0 + 1]
+        ew = gcache[erows, EW0 : EW0 + 1]
+        rel = gcache[erows, 0:3]
+        dist = gcache[erows, 3:4]
+        r_feat = gcache[erows, 4 : 4 + 4 * R]
+        rbf = (
+            r_feat[:, 0:R] + r_feat[:, R : 2 * R]
+            + r_feat[:, 2 * R : 3 * R] + r_feat[:, 3 * R : 4 * R]
+        )
+        d_off = dist - offsets
+        return et4, nm, ew, rel, dist, d_off, rbf, r_feat
+
+    if gc:
+        # prefill ONCE per complex: per-edge scalars (layer-invariant) and
+        # layer-0 geometry (exact for every layer of regeo-CLEAN tiles;
+        # dirty tiles are refreshed per layer below before any read)
+        def geo_prefill(t, _):
+            erows = pl.ds(t * TNK, TNK)
+            et4, nm, ew = edge_scalars(t, 0)
+            gcache[erows, ET0 : ET0 + 4] = et4
+            gcache[erows, NM0 : NM0 + 1] = nm
+            gcache[erows, EW0 : EW0 + 1] = ew
+            rel, dist, _d, rbf = _geom_ck(
+                xck_ref, 0, ocache[erows, :], pl.ds(t * TN, TN), TN,
+                offsets, coeff, K, cd,
+            )
+            _store_geo(erows, rel, dist, rbf, et4)
+            return 0
+
+        jax.lax.fori_loop(0, T, geo_prefill, 0, unroll=False)
+
     def layer_body(l2, _):
         l = L - 1 - l2
         src = jax.lax.rem(l2, 2)
@@ -161,21 +220,48 @@ def _block_bwd_kernel(
         dhbuf[dst] = jnp.zeros((N, H), jnp.float32)
         dxbuf[dst] = dxbuf[src]
 
+        if gc and "geom" not in ablate:
+            # refresh layer-l geometry for regeo-DIRTY live tiles only; both
+            # backward directions below read gcache (the ligand tail was
+            # previously recomputed TWICE per layer, once per direction).
+            # Liveness is monotone as l decreases, so a tile is fresh at
+            # every layer that reads it.
+            def refresh_tile(t, _):
+                live = flags_ref[0, 0, l * T + t] != 0
+                dirty = flags_ref[0, 0, L * T + t] != 0
+
+                def _refresh():
+                    erows = pl.ds(t * TNK, TNK)
+                    rel, dist, _d, rbf = _geom_ck(
+                        xck_ref, l, ocache[erows, :], pl.ds(t * TN, TN),
+                        TN, offsets, coeff, K, cd,
+                    )
+                    _store_geo(erows, rel, dist, rbf,
+                               gcache[erows, ET0 : ET0 + 4])
+
+                pl.when(jnp.logical_and(live, dirty))(_refresh)
+                return 0
+
+            jax.lax.fori_loop(0, T, refresh_tile, 0, unroll=False)
+
         # ---- h2x backward: ligand-destination tail tiles only ----
         def h2x_tile(t, _):
             rows = pl.ds((t + T0) * TN, TN)
             erows = pl.ds((t + T0) * TNK, TNK)
             onehot = ocache[erows, :]
-            et4, nm, ew = edge_scalars(t, T0)
             h_all = hck_ref[0, l + 1].astype(jnp.float32)
             hj = _cdot(onehot, h_all, cd)
             h_tile = hck_ref[0, l + 1, rows, :].astype(jnp.float32)
-            rel, dist, d_off, rbf = _geom_ck(
-                xck_ref, l, onehot, rows, TN, offsets, coeff, K, cd
-            )
-            r_feat = jnp.concatenate(
-                [rbf * et4[:, i : i + 1] for i in range(4)], axis=1
-            )
+            if gc:
+                et4, nm, ew, rel, dist, d_off, rbf, r_feat = _load_geo(erows)
+            else:
+                et4, nm, ew = edge_scalars(t, T0)
+                rel, dist, d_off, rbf = _geom_ck(
+                    xck_ref, l, onehot, rows, TN, offsets, coeff, K, cd
+                )
+                r_feat = jnp.concatenate(
+                    [rbf * et4[:, i : i + 1] for i in range(4)], axis=1
+                )
             p = ph
             hi_k = _cdot(h_tile, p.xk_w1i[l], cd)
             k, res_k = _edge_mlp_fwd(
@@ -276,7 +362,6 @@ def _block_bwd_kernel(
             rows = pl.ds(t * TN, TN)
             erows = pl.ds(t * TNK, TNK)
             onehot = ocache[erows, :]
-            et4, nm, ew = edge_scalars(t, 0)
             h_tile = hck_ref[0, l, rows, :].astype(jnp.float32)
             if "gather" in ablate:  # timing stand-in: dest-row broadcast
                 hj = jnp.broadcast_to(
@@ -285,18 +370,24 @@ def _block_bwd_kernel(
             else:
                 h_all = hck_ref[0, l].astype(jnp.float32)
                 hj = _cdot(onehot, h_all, cd)
-            if "geom" in ablate:  # timing stand-in: constant geometry
-                rel = jnp.ones((TNK, 3), jnp.float32)
-                dist = jnp.ones((TNK, 1), jnp.float32)
-                d_off = jnp.ones((TNK, offsets.shape[-1]), jnp.float32)
-                rbf = jnp.ones((TNK, offsets.shape[-1]), jnp.float32)
+            if gc:
+                # 'geom' ablate: the refresh loop above is skipped, so these
+                # are stale layer-0 values — same timing stand-in as before
+                et4, nm, ew, rel, dist, d_off, rbf, r_feat = _load_geo(erows)
             else:
-                rel, dist, d_off, rbf = _geom_ck(
-                    xck_ref, l, onehot, rows, TN, offsets, coeff, K, cd
+                et4, nm, ew = edge_scalars(t, 0)
+                if "geom" in ablate:  # timing stand-in: constant geometry
+                    rel = jnp.ones((TNK, 3), jnp.float32)
+                    dist = jnp.ones((TNK, 1), jnp.float32)
+                    d_off = jnp.ones((TNK, offsets.shape[-1]), jnp.float32)
+                    rbf = jnp.ones((TNK, offsets.shape[-1]), jnp.float32)
+                else:
+                    rel, dist, d_off, rbf = _geom_ck(
+                        xck_ref, l, onehot, rows, TN, offsets, coeff, K, cd
+                    )
+                r_feat = jnp.concatenate(
+                    [rbf * et4[:, i : i + 1] for i in range(4)], axis=1
                 )
-            r_feat = jnp.concatenate(
-                [rbf * et4[:, i : i + 1] for i in range(4)], axis=1
-            )
             p = px
             hi_k = _cdot(h_tile, p.hk_w1i[l], cd)
             k, res_k = _edge_mlp_fwd(
@@ -418,6 +509,16 @@ def _block_bwd(hs, xs, idx, nbr_mask, etype, e_w, mask_ligand, offsets,
     if x2h_flags is None:
         x2h_flags = jnp.ones((B, L * (N // TN)), jnp.int32)
     assert x2h_flags.shape == (B, L * (N // TN)), x2h_flags.shape
+    gc = BWD_GEOM_CACHE
+    if gc:
+        # plain regeo-dirty bits (layer-independent, NOT cone-intersected:
+        # the cache-vs-recompute decision needs "does this tile's geometry
+        # ever change", which is the v9 first-TR rule)
+        from .block_denoiser import compute_tile_flags as _ctf
+
+        dirty = _ctf(idx, nbr_mask, n_ligand, tile=TN, rtile=TN,
+                     num_layers=None)[:, : N // TN]
+        x2h_flags = jnp.concatenate([x2h_flags, dirty], axis=-1)
 
     # trace-time backward phase attribution (tools/fwdbwd_probe.py):
     # BWD_ABLATE=gather|geom|vbranch|softmax|scatter|pgrads (comma-sep)
@@ -430,7 +531,7 @@ def _block_bwd(hs, xs, idx, nbr_mask, etype, e_w, mask_ligand, offsets,
     )
     kern = functools.partial(
         _block_bwd_kernel, N=N, H=H, K=K, L=L, n_heads=n_heads, coeff=coeff,
-        TN=TN, NLIG=n_ligand, cd=cd, ablate=ablate,
+        TN=TN, NLIG=n_ligand, cd=cd, gc=gc, ablate=ablate,
     )
 
     def wrapped(*refs):
@@ -445,7 +546,7 @@ def _block_bwd(hs, xs, idx, nbr_mask, etype, e_w, mask_ligand, offsets,
         kern(*regular, px, ph, dh0, dx0, dew, dpx, dph, *scratch)
 
     R = offsets.shape[-1]
-    NF = L * (N // TN)
+    NF = (L + 1 if gc else L) * (N // TN)
     in_specs = (
         [
             # per-complex flag row in SMEM (same layout trick as the forward
@@ -490,7 +591,10 @@ def _block_bwd(hs, xs, idx, nbr_mask, etype, e_w, mask_ligand, offsets,
             pltpu.VMEM((N * K, N), cd),  # ocache
             pltpu.VMEM((2, N, H), jnp.float32),  # dh ping-pong
             pltpu.VMEM((2, N, 8), jnp.float32),  # dx ping-pong
-        ],
+        ] + ([
+            # rel(3)|dist(1)|r_feat(4R)|et4(4)|nm(1)|ew(1), 128-lane padded
+            pltpu.VMEM((N * K, -(-(10 + 4 * R) // 128) * 128), jnp.float32),
+        ] if gc else []),
         interpret=interpret,
     )(
         x2h_flags.astype(jnp.int32)[:, None, :],

@@ -34,6 +34,7 @@ for impl in impls:  # comma-separated impls duel in ONE process (chip drift)
     #   fast      = production (per-layer cone flags + protein sort)
     #   fastv9    = regeo-clean flags + sort only (need_full_h stays True)
     #   fastoff   = round-4 all-dirty baseline (no flags, no sort)
+    #   fastnogc  = production flags, backward geometry cache OFF
     import targetdiff_tpu.models.fast_forward as FF
     import targetdiff_tpu.ops.pallas.block_vjp as BV
     if impl.startswith("fastoff"):
@@ -42,8 +43,13 @@ for impl in impls:  # comma-separated impls duel in ONE process (chip drift)
     elif impl.startswith("fastv9"):
         impl = "fast" + impl[len("fastv9"):]
         FF.TRAIN_CONE_FLAGS, FF.TRAIN_SORT, BV.TRAIN_TILE_FLAGS = False, True, True
+    elif impl.startswith("fastnogc"):
+        impl = "fast" + impl[len("fastnogc"):]
+        FF.TRAIN_CONE_FLAGS, FF.TRAIN_SORT, BV.TRAIN_TILE_FLAGS = True, True, True
+        BV.BWD_GEOM_CACHE = False
     else:
         FF.TRAIN_CONE_FLAGS, FF.TRAIN_SORT, BV.TRAIN_TILE_FLAGS = True, True, True
+        BV.BWD_GEOM_CACHE = True
     # "<impl>16" clones the net to bf16 compute (params stay f32) — e.g.
     # xla16 probes whether the HBM-bound XLA fallback halves with bf16
     m_i = model
